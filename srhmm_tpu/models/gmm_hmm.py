@@ -1,0 +1,176 @@
+"""GMM-HMM parameter containers (JAX pytrees).
+
+The reference stores a model as nested C structs (`struct mixture` /
+`struct state`, /root/reference/train/source/hmm-full-fs/hmm_continuous_full_fs.c:55-66)
+with one linked-list node per vocabulary word in the recognizer
+(recognition-fs/recognition_continuous_fs.c:124-139).  The TPU-native design
+instead keeps every parameter as a dense array with explicit state / mixture /
+coefficient axes, so that
+
+  * the whole vocabulary stacks into one leading `word` axis and scoring all
+    words is a single batched computation (vs. the reference's per-word linked
+    list walk that re-reads the utterance from disk per word, R2:349), and
+  * Gaussian parameters can be sharded over a `model` mesh axis and utterance
+    batches over a `data` mesh axis with `jax.sharding`.
+
+Covariance conventions follow the reference's on-disk contract: what is stored
+is the **inverse** covariance together with the determinant of the *original*
+covariance (hmm-full-fs:2378-2395) so recognition never inverts anything.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+FULL = "full"
+DIAG = "diag"
+
+# Numerical-contract constants carried over from the reference's semantics.
+FINITE_PROBAB = 1.0e-5  # floor for mixture weights & cov diagonals (T1:38)
+GAUS_INF_CLAMP = 1e20  # calc_gaus overflow clamp (T1:1880-1883)
+BETA_INF_CLAMP = 1e200  # calc_beta overflow clamp (T1:1540)
+ZERO_DET_THRESHOLD = 1e-20  # treat_zero_det trigger (T1:2242)
+
+
+@struct.dataclass
+class GmmStream:
+    """Gaussian-mixture emission parameters for one feature stream.
+
+    Shapes (S = states, M = mixtures, D = feature dim):
+      weights:  (..., S, M)     mixture coefficients
+      means:    (..., S, M, D)
+      inv_cov:  (..., S, M, D, D) for full covariance, (..., S, M, D) for diag
+      det:      (..., S, M)     determinant of the ORIGINAL covariance
+    Leading `...` axes (e.g. a vocabulary axis) are allowed everywhere.
+    """
+
+    weights: jax.Array
+    means: jax.Array
+    inv_cov: jax.Array
+    det: jax.Array
+    cov_type: str = struct.field(pytree_node=False, default=FULL)
+
+    @property
+    def num_states(self) -> int:
+        return self.weights.shape[-2]
+
+    @property
+    def num_mixtures(self) -> int:
+        return self.weights.shape[-1]
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[-1]
+
+    def astype(self, dtype) -> "GmmStream":
+        return GmmStream(
+            weights=self.weights.astype(dtype),
+            means=self.means.astype(dtype),
+            inv_cov=self.inv_cov.astype(dtype),
+            det=self.det.astype(dtype),
+            cov_type=self.cov_type,
+        )
+
+
+@struct.dataclass
+class GmmHmm:
+    """A left-to-right continuous-density HMM for one word (or a stacked vocab).
+
+    trans: (..., S, S) transition probabilities in probability domain (rows sum
+    to 1 over the allowed band).  The initial distribution is implicit: the
+    reference always starts in state 0 (`pi[0]=1`, T1:218-219); we keep that
+    contract and do not store pi.
+    """
+
+    trans: jax.Array
+    streams: tuple[GmmStream, ...]
+    word: Any = struct.field(pytree_node=False, default="")
+
+    @property
+    def num_states(self) -> int:
+        return self.trans.shape[-1]
+
+    @property
+    def num_streams(self) -> int:
+        return len(self.streams)
+
+    @property
+    def mixture_numbers(self) -> tuple[int, ...]:
+        return tuple(s.num_mixtures for s in self.streams)
+
+    @property
+    def coef_numbers(self) -> tuple[int, ...]:
+        return tuple(s.dim for s in self.streams)
+
+    def log_trans(self) -> jax.Array:
+        """log transition matrix with -inf for structurally-forbidden entries."""
+        t = self.trans
+        return jnp.where(t > 0, jnp.log(jnp.where(t > 0, t, 1.0)), -jnp.inf)
+
+
+def stack_models(models: Sequence[GmmHmm]) -> GmmHmm:
+    """Stack per-word models into a single GmmHmm with a leading vocab axis.
+
+    All models must share (S, streams, M, D) shapes — true for any vocabulary
+    trained with one CLI configuration, including the reference fixtures.
+    Scoring the whole vocabulary then vmaps over the leading axis instead of
+    walking a linked list (R2:341-369).
+    """
+    if not models:
+        raise ValueError("stack_models: empty vocabulary")
+    first = models[0]
+    for m in models[1:]:
+        if (
+            m.num_states != first.num_states
+            or m.mixture_numbers != first.mixture_numbers
+            or m.coef_numbers != first.coef_numbers
+        ):
+            raise ValueError(
+                "stack_models requires homogeneous model shapes; "
+                f"{m.word}: {m.num_states}/{m.mixture_numbers}/{m.coef_numbers} vs "
+                f"{first.word}: {first.num_states}/{first.mixture_numbers}/{first.coef_numbers}"
+            )
+    # `word` is static metadata and differs per model, which would make the
+    # pytree structures unequal — blank it before mapping over leaves.
+    bare = [m.replace(word="") for m in models]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *bare)
+    words = tuple(m.word for m in models)
+    return stacked.replace(word=words)
+
+
+def init_left_right_trans(
+    states_number: int, delta: int = 1, dtype=jnp.float64
+) -> jax.Array:
+    """Uniform banded left-right transition matrix.
+
+    Replicates `init_transition_probab` (T1:772-791): row i is uniform over
+    states [i, min(i+delta, S-1)], zero elsewhere.
+    """
+    i = np.arange(states_number)[:, None]
+    j = np.arange(states_number)[None, :]
+    allowed = (j >= i) & (j <= i + delta)
+    width = np.minimum(delta + 1, states_number - np.arange(states_number))
+    trans = np.where(allowed, 1.0 / width[:, None], 0.0)
+    return jnp.asarray(trans, dtype=dtype)
+
+
+def validate_model(model: GmmHmm, atol: float = 1e-3) -> list[str]:
+    """Stochasticity sanity checks mirroring the reference's printf warnings
+    (row sums T1:1926, mixture-coefficient sums T1:1997-1998). Returns a list
+    of human-readable violations (empty = OK)."""
+    problems = []
+    row_sums = np.asarray(model.trans).sum(axis=-1)
+    bad = np.abs(row_sums - 1.0) > atol
+    if bad.any():
+        problems.append(f"transition row sums off: {row_sums[bad]}")
+    for si, s in enumerate(model.streams):
+        w_sums = np.asarray(s.weights).sum(axis=-1)
+        badw = np.abs(w_sums - 1.0) > atol
+        if badw.any():
+            problems.append(f"stream {si} mixture weight sums off: {w_sums[badw]}")
+    return problems
