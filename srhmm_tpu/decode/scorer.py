@@ -1,0 +1,116 @@
+"""Isolated-word scoring.
+
+The reference walks a linked list of word models and, for every word,
+re-reads the utterance from disk and re-runs emission + forward
+(recognition-fs/recognition_continuous_fs.c:341-369 — 13x redundant I/O per
+utterance).  Here the whole vocabulary is a stacked pytree and one jitted,
+vmapped computation scores every word at once; a batch axis over utterances
+vmaps on top of that.
+
+Two scoring modes, matching the two reference recognizer variants:
+  * "total"  — total probability, R1 (recognition-full-fs:822-836)
+  * "final"  — final-state probability, R2 (recognition-fs:820-836)
+and two numerics modes: log-space fast path and float64 probability-domain
+parity path (exact reference semantics including clamps).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gmm_hmm import GmmHmm
+from ..ops.emission import log_state_emission, prob_emission_parity
+from ..ops.forward_backward import (
+    log_forward,
+    parity_score_final_state,
+    parity_score_total,
+    scaled_forward_parity,
+    score_final_state,
+    score_total,
+)
+
+TOTAL = "total"
+FINAL = "final"
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def score_vocab_log(
+    vocab: GmmHmm,
+    frames_per_stream: tuple[jax.Array, ...],
+    mode: str = TOTAL,
+    length: jax.Array | None = None,
+) -> jax.Array:
+    """Log-space scores of one utterance against a stacked vocabulary.
+
+    vocab: GmmHmm with leading word axis W; frames_per_stream: one (T, D_p)
+    array per stream.  Returns (W,) scores (higher = better).
+    """
+
+    def one_word(word_model: GmmHmm) -> jax.Array:
+        log_b = None
+        for frames, stream in zip(frames_per_stream, word_model.streams):
+            lb = log_state_emission(frames, (stream,))
+            log_b = lb if log_b is None else log_b + lb
+        la = log_forward(log_b, word_model.log_trans(), length)
+        return score_total(la) if mode == TOTAL else score_final_state(la)
+
+    return jax.vmap(one_word)(vocab)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def score_vocab_parity(
+    vocab: GmmHmm,
+    frames_per_stream: tuple[jax.Array, ...],
+    mode: str = TOTAL,
+) -> jax.Array:
+    """Float64 probability-domain scores replicating the reference exactly."""
+
+    def one_word(word_model: GmmHmm) -> jax.Array:
+        b = prob_emission_parity(list(frames_per_stream), word_model.streams)
+        alpha, scaling = scaled_forward_parity(b, word_model.trans)
+        if mode == TOTAL:
+            return parity_score_total(scaling)
+        return parity_score_final_state(scaling, alpha)
+
+    return jax.vmap(one_word)(vocab)
+
+
+def rank(scores: np.ndarray) -> np.ndarray:
+    """Descending-score ranking with stable ties; NaN scores rank last.
+
+    This is the *sane* ranking for the fast path.  It intentionally differs
+    from the reference for NaN inputs — see rank_c_parity.
+    """
+    scores = np.asarray(scores)
+    # place NaNs below every finite/-inf score
+    keys = np.where(np.isnan(scores), -np.inf, scores)
+    nan_penalty = np.isnan(scores).astype(np.int64)  # tie-break NaNs last
+    order = np.lexsort((np.arange(len(scores)), nan_penalty, -keys))
+    return order
+
+
+def rank_c_parity(scores: np.ndarray) -> np.ndarray:
+    """The reference's `sorting_probab` bubble sort, literally (R2:968-995).
+
+    Load-bearing quirk: `if (probab[index[i]] < probab[index[i+1]]) swap` is
+    false for any comparison involving NaN, so NaN entries freeze the
+    permutation around them.  With the committed full-cov models most
+    cross-word scores underflow to NaN, the sort returns the *identity*
+    permutation, and word 0 (vc_186...) "wins" every utterance — which is
+    exactly how the golden report test/test/result/hmm-result.txt gets its
+    1/13 = 7.69% accuracy.  Reproducing that report requires this sort.
+    """
+    scores = np.asarray(scores)
+    idx = list(range(len(scores)))
+    done = False
+    while not done:
+        done = True
+        for i in range(len(scores) - 1):
+            if scores[idx[i]] < scores[idx[i + 1]]:
+                idx[i], idx[i + 1] = idx[i + 1], idx[i]
+                done = False
+    return np.asarray(idx)
