@@ -1,0 +1,109 @@
+"""End-to-end CLI tests: the train/recognize entry points reproduce the
+reference's golden artifacts when run against copies of its run directories."""
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from srhmm_tpu.io import read_hmm
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _strip_volatile(text: str) -> str:
+    return "\n".join(
+        l
+        for l in text.splitlines()
+        if "Date and time" not in l
+        and "Average recognition time" not in l
+        and "time:" not in l
+    )
+
+
+def _run(args, cwd):
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    return subprocess.run(
+        [sys.executable, "-m", *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_recognize_cli_reproduces_golden_report(reference_root, tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "test" / "test", run / "test")
+    r = _run(
+        [
+            "srhmm_tpu.cli.recognize",
+            "1",
+            "./test/models/models.txt",
+            "1",
+            "./test/perfil_data/mean_list.txt",
+            "./test/words.txt",
+            "./test/out.txt",
+        ],
+        cwd=run,
+    )
+    assert r.returncode == 0, r.stderr
+    got = _strip_volatile((run / "test" / "out.txt").read_text())
+    want = _strip_volatile(
+        (reference_root / "test" / "test" / "result" / "hmm-result.txt").read_text()
+    )
+    assert got == want
+
+
+def test_train_cli_reproduces_golden_model(reference_root, tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "train" / "test", run / "test")
+    (run / "test" / "parameters.txt").write_text(
+        "./test/perfil_data/mean_vc_186_f_03_ap_0225.perfil\n"
+    )
+    r = _run(
+        [
+            "srhmm_tpu.cli.train",
+            "vc_186_f_03_ap_0225",
+            "6",
+            "1",
+            "1",
+            "./test/parameters.txt",
+            "./test/out.hmm",
+        ],
+        cwd=run,
+    )
+    assert r.returncode == 0, r.stderr
+    got = read_hmm(run / "test" / "out.hmm")
+    gold = read_hmm(
+        reference_root / "train" / "test" / "result" / "mean_vc_186_f_03_ap_0225.hmm"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.trans), np.asarray(gold.trans), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.streams[0].inv_cov),
+        np.asarray(gold.streams[0].inv_cov),
+        rtol=1e-6,
+    )
+    # derived text-file naming + fixed fields
+    txt = (run / "test" / "out.txt").read_text()
+    assert "number of iterations: 3" in txt
+    assert "mean probability: -7928.721460" in txt
+    assert "number of exemplars in training sequence: 1" in txt
+
+
+def test_cli_usage_errors():
+    r = _run(["srhmm_tpu.cli.train"], cwd=REPO)
+    assert r.returncode == 1
+    assert "Usage:" in r.stderr
+    r = _run(["srhmm_tpu.cli.recognize", "1"], cwd=REPO)
+    assert r.returncode == 1
+    assert "Usage:" in r.stderr
