@@ -37,6 +37,23 @@ TOTAL = "total"
 FINAL = "final"
 
 
+def _score_vocab_log(
+    vocab: GmmHmm,
+    frames_per_stream: tuple[jax.Array, ...],
+    mode: str = TOTAL,
+    length: jax.Array | None = None,
+) -> jax.Array:
+    def one_word(word_model: GmmHmm) -> jax.Array:
+        log_b = None
+        for frames, stream in zip(frames_per_stream, word_model.streams):
+            lb = log_state_emission(frames, (stream,))
+            log_b = lb if log_b is None else log_b + lb
+        la = log_forward(log_b, word_model.log_trans(), length)
+        return score_total(la) if mode == TOTAL else score_final_state(la)
+
+    return jax.vmap(one_word)(vocab)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def score_vocab_log(
     vocab: GmmHmm,
@@ -49,16 +66,21 @@ def score_vocab_log(
     vocab: GmmHmm with leading word axis W; frames_per_stream: one (T, D_p)
     array per stream.  Returns (W,) scores (higher = better).
     """
+    return _score_vocab_log(vocab, frames_per_stream, mode, length)
 
-    def one_word(word_model: GmmHmm) -> jax.Array:
-        log_b = None
-        for frames, stream in zip(frames_per_stream, word_model.streams):
-            lb = log_state_emission(frames, (stream,))
-            log_b = lb if log_b is None else log_b + lb
-        la = log_forward(log_b, word_model.log_trans(), length)
-        return score_total(la) if mode == TOTAL else score_final_state(la)
 
-    return jax.vmap(one_word)(vocab)
+@partial(jax.jit, static_argnames=("mode",))
+def score_batch_log(vocab: GmmHmm, batch, mode: str = TOTAL) -> jax.Array:
+    """Score a padded utterance batch against a stacked vocabulary.
+
+    vocab: single-stream GmmHmm with leading word axis W; batch: UtteranceBatch
+    (B, T, D).  Returns (B, W) scores — every utterance against every word in
+    one batched computation (the reference's quadruple loop R2:283-369 with
+    its 13x redundant .perfil re-reads collapses into this).
+    """
+    return jax.vmap(
+        lambda f, l: _score_vocab_log(vocab, (f,), mode, l)
+    )(batch.features, batch.lengths)
 
 
 @partial(jax.jit, static_argnames=("mode",))

@@ -67,6 +67,9 @@ def init_mix_mean(
     mean[:, 0] /= count[:, None]
 
     m = 1
+    # at the first split the C reads an uninitialized distortion array
+    # (harmless there: sorting a single cell); zeros give the same result
+    distortion = np.zeros((S, M))
     while m < M:
         # split (T1:1158-1201)
         if 2 * m < M:
@@ -74,7 +77,6 @@ def init_mix_mean(
                 mean[k, m : 2 * m] = mean[k, :m] * 1.05
                 mean[k, :m] *= 0.95
             new_m = 2 * m
-            distortion = np.zeros((S, M))
         else:
             dif = M - m
             for k in range(S):

@@ -54,6 +54,11 @@ class GmmStream:
     inv_cov: jax.Array
     det: jax.Array
     cov_type: str = struct.field(pytree_node=False, default=FULL)
+    # log |det|, the TPU fast-path representation: raw determinants of real
+    # speech covariances (1e20..1e40 in the fixtures) overflow float32, so
+    # low-precision compute paths must normalize in log space.  None -> derive
+    # from `det` on the fly (float64 storage path).
+    log_det: Any = None
 
     @property
     def num_states(self) -> int:
@@ -67,13 +72,23 @@ class GmmStream:
     def dim(self) -> int:
         return self.means.shape[-1]
 
+    def log_abs_det(self) -> jax.Array:
+        """log |Sigma| in a representation safe for low-precision compute."""
+        if self.log_det is not None:
+            return self.log_det
+        return jnp.log(jnp.abs(self.det))
+
     def astype(self, dtype) -> "GmmStream":
+        """Cast for compute.  `det` is converted to `log_det` BEFORE the cast
+        so float32 compute never materializes the (overflowing) raw
+        determinant."""
         return GmmStream(
             weights=self.weights.astype(dtype),
             means=self.means.astype(dtype),
             inv_cov=self.inv_cov.astype(dtype),
             det=self.det.astype(dtype),
             cov_type=self.cov_type,
+            log_det=self.log_abs_det().astype(dtype),
         )
 
 
@@ -111,6 +126,16 @@ class GmmHmm:
         """log transition matrix with -inf for structurally-forbidden entries."""
         t = self.trans
         return jnp.where(t > 0, jnp.log(jnp.where(t > 0, t, 1.0)), -jnp.inf)
+
+    def astype(self, dtype) -> "GmmHmm":
+        """Cast for compute (determinants switch to log space, see
+        GmmStream.astype).  Use this — not a raw tree.map — to lower
+        precision."""
+        return GmmHmm(
+            trans=self.trans.astype(dtype),
+            streams=tuple(s.astype(dtype) for s in self.streams),
+            word=self.word,
+        )
 
 
 def stack_models(models: Sequence[GmmHmm]) -> GmmHmm:

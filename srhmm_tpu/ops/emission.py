@@ -51,9 +51,14 @@ def log_gauss(frames: jax.Array, stream: GmmStream) -> jax.Array:
     dtype = frames.dtype
     mu = stream.means.astype(dtype)  # (S, M, D)
     k = stream.inv_cov.astype(dtype)
-    det = stream.det.astype(dtype)  # (S, M)
     D = frames.shape[-1]
-    log_norm = -0.5 * (D * math.log(2.0 * math.pi) + jnp.log(jnp.abs(det)))
+    # log|det| comes from the log-space representation (raw dets overflow f32).
+    # det == 0 (log_det == -inf) marks a degenerate mixture: its likelihood is
+    # 0 (log -inf), mirroring the parity path's det != 0 guard.
+    lad = stream.log_abs_det()
+    log_norm = (-0.5 * (D * math.log(2.0 * math.pi) + lad)).astype(dtype)
+    degenerate = ~jnp.isfinite(log_norm)
+    log_norm = jnp.where(degenerate, 0.0, log_norm)
 
     if stream.cov_type == DIAG:
         S, M = mu.shape[0], mu.shape[1]
@@ -64,13 +69,21 @@ def log_gauss(frames: jax.Array, stream: GmmStream) -> jax.Array:
         bias = -0.5 * jnp.sum(mu * mu * k, axis=-1).reshape(S * M)  # (SM,)
         feats = jnp.concatenate([frames, frames * frames], axis=-1)  # (T, 2D)
         q = jnp.dot(feats, w, preferred_element_type=dtype) + bias
-        return q.reshape(frames.shape[0], S, M) + log_norm
+        out = q.reshape(frames.shape[0], S, M) + log_norm
+        return jnp.where(degenerate, -jnp.inf, out)
     elif stream.cov_type == FULL:
         dif = frames[:, None, None, :] - mu  # (T, S, M, D)
         quad = jnp.einsum(
             "tsmd,smde,tsme->tsm", dif, k, dif, preferred_element_type=dtype
         )
-        return -0.5 * quad + log_norm
+        out = -0.5 * quad + log_norm
+        # The reference clamps overflowing full-cov densities to 1e20
+        # (T1:1880-1883).  The log path clamps at log(1e20) directly: this is
+        # the same protection, and it also catches the indefinite-covariance
+        # explosions (negative quadratic forms from degenerate clusters) that
+        # the C only catches once they overflow a double.
+        out = jnp.minimum(out, math.log(GAUS_INF_CLAMP))
+        return jnp.where(degenerate, -jnp.inf, out)
     raise ValueError(f"unknown cov_type {stream.cov_type}")
 
 

@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    em_step_sharded,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_model,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "em_step_sharded",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "shard_model",
+]

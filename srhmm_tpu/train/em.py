@@ -1,0 +1,333 @@
+"""TPU fast-path Baum-Welch EM: log-space, batched, jitted, mesh-shardable.
+
+Redesign of the reference EM loop (T1:223-346) for TPU execution:
+
+* whole utterance batch resident on device as a padded (B, T, D) array —
+  no per-utterance disk re-reads (the reference re-reads every .perfil twice
+  per iteration, T1:259/287);
+* emission + occupancy statistics are batched GEMM-shaped contractions that
+  map onto the MXU; forward/backward are `lax.scan` recursions in log space
+  (no scaling factors — the scaled-recursion equivalent is the parity path);
+* sufficient statistics are linear in the data, so data parallelism is a sum
+  over the batch axis: under jit with the batch sharded over a `data` mesh
+  axis and replicated outputs, XLA inserts the ICI all-reduce (the psum of
+  SURVEY §2.4) automatically.  Mixture-sharded model parallelism shards the
+  M axis of the stream parameters over a `model` axis (parallel/mesh.py).
+* covariance statistics accumulate raw moments (sum gamma, sum gamma x,
+  sum gamma x x^T) and the M-step recovers the reference's
+  residual-about-PRE-update-means covariance (T1:1744-1750) through the
+  moment identity  sum g (x-mu0)(x-mu0)^T = XX - mu0 a^T - a mu0^T + w mu0 mu0^T,
+  keeping the E-step free of (T, S, M, D, D) intermediates.
+
+Validated against train/em_parity.py (the reference-exact oracle) in
+tests/test_em_fast.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..io.dataset import UtteranceBatch
+from ..models.gmm_hmm import DIAG, FINITE_PROBAB, FULL, GmmHmm, GmmStream
+from ..ops.emission import log_mixture_posteriors
+from ..ops.forward_backward import log_backward_full, log_forward_full
+
+
+@struct.dataclass
+class StreamStats:
+    w: jax.Array  # (S, M)        sum_t gamma_m
+    x: jax.Array  # (S, M, D)     sum_t gamma_m * x_t
+    xx: jax.Array  # (S, M, D, D) full | (S, M, D) diag: second moment
+
+
+@struct.dataclass
+class SuffStats:
+    num_trans: jax.Array  # (S, S)
+    den_trans: jax.Array  # (S,)
+    den_mix: jax.Array  # (S,)
+    streams: tuple[StreamStats, ...]
+    log_prob: jax.Array  # scalar: sum over utterances of final-state log P
+    num_valid: jax.Array  # scalar: utterances with finite log P
+
+
+def _per_utterance_stats(model: GmmHmm, feats: jax.Array, length: jax.Array):
+    """E-step statistics for one padded utterance ((T, D), scalar length)."""
+    S = model.num_states
+    log_trans = model.log_trans().astype(feats.dtype)
+
+    log_b = None
+    posts = []
+    for stream in model.streams:
+        lb_s, post_s = log_mixture_posteriors(feats, stream)
+        posts.append(post_s)
+        log_b = lb_s if log_b is None else log_b + lb_s
+
+    la = log_forward_full(log_b, log_trans, length)
+    lbw = log_backward_full(log_b, log_trans, length)
+    log_z = la[-1, S - 1]  # rows at t >= length repeat the last valid row
+    valid = jnp.isfinite(log_z) & (length > 0)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    T = feats.shape[0]
+    t_idx = jnp.arange(T)
+    frame_mask = (t_idx < length).astype(feats.dtype)
+
+    lgamma = la + lbw - safe_z
+    gamma = jnp.exp(jnp.minimum(lgamma, 0.0)) * frame_mask[:, None]  # (T, S)
+
+    # banded xi statistics (calc_transition_probab T1:1609-1647)
+    xi_mask = (t_idx[:-1] < length - 1).astype(feats.dtype)
+    log_xi = (
+        la[:-1, :, None]
+        + log_trans[None, :, :]
+        + (log_b[1:] + lbw[1:])[:, None, :]
+        - safe_z
+    )
+    xi = jnp.exp(jnp.minimum(log_xi, 0.0)) * xi_mask[:, None, None]
+    num_trans = xi.sum(0)
+    den_trans = (gamma[:-1] * xi_mask[:, None]).sum(0)
+    den_mix = gamma.sum(0)
+
+    stream_stats = []
+    for stream, post in zip(model.streams, posts):
+        gm = gamma[:, :, None] * post  # (T, S, M)
+        w = gm.sum(0)
+        x = jnp.einsum("tsm,td->smd", gm, feats, preferred_element_type=feats.dtype)
+        if stream.cov_type == FULL:
+            xx = jnp.einsum(
+                "tsm,td,te->smde", gm, feats, feats,
+                preferred_element_type=feats.dtype,
+            )
+        else:
+            xx = jnp.einsum(
+                "tsm,td->smd", gm, feats * feats,
+                preferred_element_type=feats.dtype,
+            )
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+
+    zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
+    return SuffStats(
+        num_trans=zero(num_trans),
+        den_trans=zero(den_trans),
+        den_mix=zero(den_mix),
+        streams=tuple(
+            StreamStats(w=zero(s.w), x=zero(s.x), xx=zero(s.xx))
+            for s in stream_stats
+        ),
+        log_prob=jnp.where(valid, log_z, 0.0),
+        num_valid=valid.astype(feats.dtype),
+    )
+
+
+def e_step(model: GmmHmm, batch: UtteranceBatch) -> SuffStats:
+    """Batched E-step: per-utterance stats vmapped over B, summed over the
+    batch axis.  Under pjit with the batch sharded on `data`, the sum is an
+    ICI all-reduce."""
+    per_utt = jax.vmap(lambda f, l: _per_utterance_stats(model, f, l))(
+        batch.features, batch.lengths
+    )
+    return jax.tree.map(lambda a: a.sum(0), per_utt)
+
+
+def m_step(
+    model: GmmHmm, stats: SuffStats, delta: int = 1, var_floor: float = 0.0
+) -> GmmHmm:
+    """Reference-semantics parameter update (T1:1907-2000 + re-inversion),
+    vectorized over (S, M).
+
+    var_floor: minimum variance (covariance diagonal), on top of the
+    reference's absolute FINITE_PROBAB floor.  The reference floors at 1e-5
+    regardless of feature scale (T1:1975-1977), which under-regularizes
+    features with magnitudes in the thousands (the fixture profiles); a
+    relative floor keeps over-parameterized mixtures PSD.  0.0 = reference
+    semantics.
+
+    Degenerate-covariance repair (treat_zero_det, T1:2226-2265) is
+    vectorized: every mixture whose determinant collapses below 1e-20 is
+    re-seeded from its state's largest-determinant mixture (+/-5% mean split,
+    halved weight).  The C re-seeds from successive donors; with one donor
+    per state the behaviors coincide, which covers the non-pathological case.
+    """
+    S = model.num_states
+    dtype = model.trans.dtype
+
+    band = _band_mask(S, delta, dtype)
+    den = stats.den_trans
+    trans_new = jnp.where(
+        (den > 0)[:, None],
+        band * stats.num_trans / jnp.where(den > 0, den, 1.0)[:, None],
+        model.trans,
+    )
+
+    new_streams = []
+    for stream, st in zip(model.streams, stats.streams):
+        den_mix = stats.den_mix
+        touched = (den_mix > 0)[:, None]
+        w_safe = jnp.where(st.w > 0, st.w, 1.0)
+
+        weights = jnp.where(touched, st.w / jnp.where(den_mix > 0, den_mix, 1.0)[:, None], stream.weights)
+        weights = jnp.maximum(weights, FINITE_PROBAB)
+        weights = weights / weights.sum(-1, keepdims=True)
+
+        mu0 = stream.means
+        means = jnp.where(touched[..., None], st.x / w_safe[..., None], mu0)
+
+        old_log_det = stream.log_abs_det()
+        if stream.cov_type == FULL:
+            a = st.x
+            cov = (
+                st.xx
+                - mu0[..., :, None] * a[..., None, :]
+                - a[..., :, None] * mu0[..., None, :]
+                + st.w[..., None, None] * mu0[..., :, None] * mu0[..., None, :]
+            ) / w_safe[..., None, None]
+            D = cov.shape[-1]
+            eye = jnp.eye(D, dtype=dtype)
+            diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+            floored = jnp.maximum(diag, max(FINITE_PROBAB, var_floor))
+            cov = cov + (floored - diag)[..., None] * eye
+            inv_new, log_det_new = _batched_inv_logdet(cov)
+            inv = jnp.where(touched[..., None, None], inv_new, stream.inv_cov)
+            log_det = jnp.where(touched, log_det_new, old_log_det)
+        else:
+            cov = (
+                st.xx - 2.0 * mu0 * st.x + st.w[..., None] * mu0 * mu0
+            ) / w_safe[..., None]
+            cov = jnp.maximum(cov, max(FINITE_PROBAB, var_floor))
+            inv_new = 1.0 / cov
+            log_det_new = jnp.sum(jnp.log(cov), axis=-1)
+            inv = jnp.where(touched[..., None], inv_new, stream.inv_cov)
+            log_det = jnp.where(touched, log_det_new, old_log_det)
+
+        weights, means, inv, log_det = _repair_degenerate(
+            weights, means, inv, log_det, stream.cov_type
+        )
+        if stream.cov_type == FULL:
+            # Last-resort PSD fallback (beyond the reference): if a mixture's
+            # covariance is still not invertible after donor repair (e.g. the
+            # whole state collapsed), fall back to its diagonal covariance —
+            # always PSD after flooring.  HTK-style robustness for
+            # over-parameterized models; unreachable in the fixture regime.
+            still_bad = ~jnp.isfinite(log_det) | (log_det < _LOG_ZERO_DET)
+            diag_inv = 1.0 / floored  # (S, M, D)
+            eye_d = jnp.eye(floored.shape[-1], dtype=dtype)
+            inv = jnp.where(
+                still_bad[..., None, None], diag_inv[..., None] * eye_d, inv
+            )
+            log_det = jnp.where(
+                still_bad, jnp.sum(jnp.log(floored), axis=-1), log_det
+            )
+        new_streams.append(
+            GmmStream(
+                weights=weights,
+                means=means,
+                inv_cov=inv,
+                # linear det kept for the .hmm export contract; may overflow
+                # in f32 (log_det is the authoritative fast-path value)
+                det=jnp.exp(log_det),
+                cov_type=stream.cov_type,
+                log_det=log_det,
+            )
+        )
+
+    return model.replace(trans=trans_new, streams=tuple(new_streams))
+
+
+def _band_mask(S: int, delta: int, dtype) -> jax.Array:
+    i = jnp.arange(S)[:, None]
+    j = jnp.arange(S)[None, :]
+    return ((j >= i) & (j <= i + delta)).astype(dtype)
+
+
+def _batched_inv_logdet(cov: jax.Array):
+    """(…, D, D) SPD inverse + log-determinant via Cholesky (the fast-path
+    replacement for the reference's LDL^T, ops/linalg_parity.py).  log-space
+    determinant avoids f32 overflow on real speech covariances."""
+    L = jnp.linalg.cholesky(cov)
+    diag_l = jnp.diagonal(L, axis1=-2, axis2=-1)
+    log_det = 2.0 * jnp.sum(jnp.log(diag_l), axis=-1)
+    D = cov.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=cov.dtype), cov.shape)
+    l_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    inv = jnp.einsum(
+        "...ki,...kj->...ij", l_inv, l_inv, preferred_element_type=cov.dtype
+    )
+    bad = ~jnp.isfinite(log_det)
+    log_det = jnp.where(bad, -jnp.inf, log_det)
+    inv = jnp.where(bad[..., None, None], 0.0, inv)
+    return inv, log_det
+
+
+_LOG_ZERO_DET = -46.0517018598809136  # log(1e-20), treat_zero_det trigger
+
+
+def _repair_degenerate(weights, means, inv, log_det, cov_type):
+    """Vectorized treat_zero_det (T1:2226-2265): re-seed collapsed mixtures
+    from the state's largest-determinant mixture."""
+    bad = log_det < _LOG_ZERO_DET  # (S, M)
+    any_bad = bad.any(-1)
+    donor = jnp.argmax(log_det, axis=-1)  # (S,)
+    take = lambda a: jnp.take_along_axis(
+        a, donor[:, None].reshape((-1,) + (1,) * (a.ndim - 1)), axis=1
+    )
+    d_means, d_inv, d_ld, d_w = (take(means), take(inv), take(log_det), take(weights))
+    means = jnp.where(bad[..., None], d_means * 1.05, means)
+    # donor mean shrinks when it actually donated
+    donated = any_bad[:, None] & (jnp.arange(means.shape[1])[None] == donor[:, None])
+    means = jnp.where(donated[..., None], means * 0.95, means)
+    if cov_type == FULL:
+        inv = jnp.where(bad[..., None, None], d_inv, inv)
+    else:
+        inv = jnp.where(bad[..., None], d_inv, inv)
+    log_det = jnp.where(bad, d_ld, log_det)
+    weights = jnp.where(donated, weights / 2.0, weights)
+    weights = jnp.where(bad, d_w / 2.0, weights)
+    weights = weights / weights.sum(-1, keepdims=True)
+    return weights, means, inv, log_det
+
+
+@partial(jax.jit, static_argnames=("var_floor",))
+def em_step(model: GmmHmm, batch: UtteranceBatch, var_floor: float = 0.0):
+    """One full EM iteration: (new_model, total_log_prob, num_valid)."""
+    stats = e_step(model, batch)
+    new_model = m_step(model, stats, var_floor=var_floor)
+    return new_model, stats.log_prob, stats.num_valid
+
+
+def train_fast(
+    model: GmmHmm,
+    batch: UtteranceBatch,
+    threshold: float = 1.0e-3,
+    max_iterations: int = 100,
+    var_floor: float = 0.0,
+):
+    """EM driver with the reference's convergence rule
+    (|old - new| / |old| <= threshold, old initialized to 1.0, final pass
+    not applying an update — T1:306-346)."""
+    from .em_parity import TrainResult
+
+    old = 1.0
+    history = []
+    iteration = 0
+    n_valid = batch.batch_size
+    while iteration < max_iterations:
+        iteration += 1
+        new_model, log_prob, num_valid = em_step(model, batch, var_floor)
+        log_prob = float(log_prob)
+        n_valid = int(num_valid)
+        history.append(log_prob)
+        if old != 0.0 and abs((old - log_prob) / old) <= threshold:
+            break
+        old = log_prob
+        model = new_model
+    return TrainResult(
+        model=model,
+        iterations=iteration,
+        mean_log_prob=history[-1] / max(n_valid, 1),
+        exemplar_count=n_valid,
+        log_prob_history=history,
+    )

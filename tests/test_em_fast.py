@@ -1,0 +1,153 @@
+"""Fast-path (log-space, batched, jitted) EM vs the reference-exact parity
+oracle, plus generative-model recovery and padding invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.init.lbg import create_initial_model
+from srhmm_tpu.io import read_perfil
+from srhmm_tpu.io.dataset import pack_utterances
+from srhmm_tpu.models import DIAG, FULL, GmmHmm, GmmStream, init_left_right_trans
+from srhmm_tpu.train.em import e_step, train_fast
+from srhmm_tpu.train.em_parity import train_word_parity
+
+
+@pytest.fixture(scope="module")
+def fixture_frames(reference_root):
+    return read_perfil(
+        reference_root
+        / "train/test/perfil_data/mean_vc_186_f_03_ap_0225.perfil"
+    )
+
+
+def test_fast_f64_matches_parity_oracle(fixture_frames):
+    init = create_initial_model([[fixture_frames]], 6, [1], cov_type="full")
+    res_p = train_word_parity([[fixture_frames]], init)
+    batch = pack_utterances([fixture_frames], pad_multiple=64, dtype=jnp.float64)
+    res_f = train_fast(init, batch)
+    assert res_f.iterations == res_p.iterations == 3
+    np.testing.assert_allclose(res_f.mean_log_prob, res_p.mean_log_prob, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_f.model.trans), np.asarray(res_p.model.trans), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.model.streams[0].means),
+        np.asarray(res_p.model.streams[0].means),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.model.streams[0].inv_cov),
+        np.asarray(res_p.model.streams[0].inv_cov),
+        rtol=1e-5,  # Cholesky vs the reference's LDL^T
+    )
+
+
+def test_fast_f32_trains(fixture_frames):
+    init = create_initial_model([[fixture_frames]], 6, [1], cov_type="full")
+    batch = pack_utterances([fixture_frames], pad_multiple=64, dtype=jnp.float32)
+    res = train_fast(init.astype(jnp.float32), batch)
+    assert res.iterations == 3
+    # f32 end-to-end stays within ~1 nat of the f64 result (-7928.72)
+    assert abs(res.mean_log_prob - (-7928.7215)) < 1.0
+    # log_det representation keeps normalization finite where raw f32
+    # determinants would overflow
+    assert np.isfinite(np.asarray(res.model.streams[0].log_det)).all()
+
+
+def test_padding_invariance(fixture_frames):
+    """E-step statistics must be identical whatever the time/batch padding."""
+    init = create_initial_model([[fixture_frames]], 6, [1], cov_type="full")
+    b1 = pack_utterances([fixture_frames], pad_multiple=1, dtype=jnp.float64)
+    b2 = pack_utterances(
+        [fixture_frames], pad_multiple=256, pad_batch_to=4, dtype=jnp.float64
+    )
+    s1 = e_step(init, b1)
+    s2 = e_step(init, b2)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-9)
+
+
+def _sample_hmm(key, model: GmmHmm, T: int) -> np.ndarray:
+    """Sample an observation sequence from a diag GMM-HMM."""
+    rng = np.random.default_rng(key)
+    S = model.num_states
+    trans = np.asarray(model.trans)
+    stream = model.streams[0]
+    w = np.asarray(stream.weights)
+    mu = np.asarray(stream.means)
+    var = 1.0 / np.asarray(stream.inv_cov)
+    s = 0
+    out = []
+    for _ in range(T):
+        m = rng.choice(w.shape[1], p=w[s])
+        out.append(rng.normal(mu[s, m], np.sqrt(var[s, m])))
+        s = rng.choice(S, p=trans[s])
+    return np.asarray(out)
+
+
+def _toy_model(S=4, M=2, D=6, seed=0) -> GmmHmm:
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, M, D)) * 4.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    )
+
+
+def test_generative_recovery_diag():
+    """EM from a perturbed init recovers a known diag GMM-HMM: the final
+    log-likelihood must beat the perturbed init's and approach the truth's."""
+    truth = _toy_model()
+    utts = [_sample_hmm(100 + i, truth, T=80 + 7 * i) for i in range(24)]
+    batch = pack_utterances(utts, pad_multiple=32, dtype=jnp.float64)
+
+    rng = np.random.default_rng(1)
+    st = truth.streams[0]
+    perturbed = truth.replace(
+        streams=(
+            st.replace(
+                means=st.means + rng.normal(size=st.means.shape),
+            ),
+        )
+    )
+    from srhmm_tpu.train.em import em_step
+
+    _, lp_perturbed, _ = em_step(perturbed, batch)
+    _, lp_truth, _ = em_step(truth, batch)
+
+    res = train_fast(perturbed, batch, threshold=1e-5, max_iterations=60)
+    assert res.log_prob_history[-1] > float(lp_perturbed)
+    # trained model should come close to (or beat) the generating model
+    assert res.log_prob_history[-1] > float(lp_truth) - 0.02 * abs(float(lp_truth))
+    # monotone to numerical tolerance
+    h = res.log_prob_history
+    assert all(h[i + 1] >= h[i] - 1e-6 * abs(h[i]) for i in range(len(h) - 1))
+
+
+def test_pathological_full_cov_stays_finite(reference_root):
+    """Over-parameterized full-cov init (18 Gaussians on ~400 frames) must not
+    NaN out: diagonal-fallback repair keeps EM finite (the reference C would
+    produce garbage here)."""
+    words = ["vc_186_f_03_ap_0225", "vc_200_f_02_ap_015", "vc_254_f_03_ap_0225"]
+    utts = [
+        read_perfil(reference_root / f"train/test/perfil_data/mean_{w}.perfil")
+        for w in words
+    ]
+    init = create_initial_model([utts], 6, [3], cov_type="full")
+    batch = pack_utterances(utts, pad_multiple=64, dtype=jnp.float64)
+    res = train_fast(init, batch, max_iterations=10, var_floor=1.0)
+    assert np.isfinite(res.log_prob_history).all()
+    assert np.isfinite(np.asarray(res.model.streams[0].log_det)).all()

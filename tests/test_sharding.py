@@ -1,0 +1,75 @@
+"""Data/model-parallel EM on the virtual 8-device CPU mesh: sharded results
+must equal single-device results (SURVEY §4: multi-host tests via
+xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.io.dataset import pack_utterances
+from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans
+from srhmm_tpu.parallel import make_mesh, replicate, shard_batch, shard_model
+from srhmm_tpu.train.em import em_step
+
+
+def _toy(S=4, M=4, D=8, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, M, D)) * 2.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    )
+    utts = [rng.normal(size=(50 + 3 * i, D)) for i in range(16)]
+    batch = pack_utterances(utts, pad_multiple=16, dtype=jnp.float64)
+    return model, batch
+
+
+def _assert_model_close(a: GmmHmm, b: GmmHmm, rtol=1e-9):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=rtol, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_em_matches_single_device(shape):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model, batch = _toy()
+    ref_model, ref_lp, ref_nv = em_step(model, batch)
+
+    mesh = make_mesh(n_data=shape[0], n_model=shape[1])
+    sh_model = shard_model(model, mesh)
+    sh_batch = shard_batch(batch, mesh)
+    got_model, got_lp, got_nv = em_step(sh_model, sh_batch)
+
+    np.testing.assert_allclose(float(got_lp), float(ref_lp), rtol=1e-12)
+    assert float(got_nv) == float(ref_nv)
+    _assert_model_close(got_model, ref_model)
+
+
+def test_sharded_scoring_matches():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from srhmm_tpu.decode.scorer import score_batch_log
+    from srhmm_tpu.models import stack_models
+
+    model, batch = _toy()
+    vocab = stack_models([model.replace(word=f"w{i}") for i in range(8)])
+    ref = np.asarray(score_batch_log(vocab, batch))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sh_batch = shard_batch(batch, mesh)
+    sh_vocab = replicate(vocab, mesh)
+    got = np.asarray(score_batch_log(sh_vocab, sh_batch))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
