@@ -1,0 +1,266 @@
+"""Continuous recognition: composed-HMM token passing, N-best decode.
+
+The reference only recognizes isolated words (one forward score per whole
+utterance per word, R2:341-369).  Continuous strings (BASELINE.json config 3)
+need word models composed into a decoding graph and a frame-synchronous
+Viterbi over the composed state space.
+
+TPU-native design:
+
+* the composed graph is a dense (S_tot, S_tot) log-transition matrix — for
+  vocabulary word-loops S_tot = W x S_word stays small (hundreds to a few
+  thousand states), and a dense max-plus matmul per frame lives happily on
+  the MXU; emissions come from the stacked vocabulary in one batched GEMM
+  per frame block (T, W, S) -> (T, S_tot);
+* decoding is one `lax.scan` carrying (S_tot, K) K-best token scores — the
+  N-best semiring: each step does a dense candidate expansion
+  (S_from x K) + trans -> top-K per destination state, with backpointers
+  stored as flat (from_state * K + k) indices for the backtrace scan;
+* word boundaries are recovered from the backtrace by detecting exit->entry
+  arc crossings (state_to_word changes or re-entry into an entry state).
+
+`compose_sequence` builds the left-to-right concatenation of per-unit models
+for a known transcript — the graph used by forced alignment and embedded
+re-estimation (train/embedded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models.gmm_hmm import GmmHmm
+from ..ops.emission import log_state_emission
+
+
+@struct.dataclass
+class ComposedGraph:
+    """A decoding graph over the composed state space of a stacked vocab.
+
+    log_trans: (S_tot, S_tot); state_to_word: (S_tot,) int32;
+    entry/exit: (W,) int32 composed-state ids; log_entry: (S_tot,) initial
+    scores (word entries get lm + entry prob; others -inf).
+    """
+
+    log_trans: jax.Array
+    state_to_word: jax.Array
+    entry_states: jax.Array
+    exit_states: jax.Array
+    log_entry: jax.Array
+    words: tuple = struct.field(pytree_node=False, default=())
+
+
+def compose_word_loop(
+    vocab: GmmHmm,
+    lm_logprobs: np.ndarray | None = None,
+    exit_logprob: float = np.log(0.1),
+) -> ComposedGraph:
+    """Word-loop graph: every word's left-right HMM, with an arc from each
+    word's final state to every word's entry state (weight = exit_logprob +
+    unigram lm), enabling unrestricted word sequences."""
+    W = vocab.trans.shape[0]
+    S = vocab.trans.shape[-1]
+    S_tot = W * S
+    if lm_logprobs is None:
+        lm_logprobs = np.full(W, -np.log(W))
+
+    lt = np.full((S_tot, S_tot), -np.inf)
+    trans = np.asarray(vocab.trans)
+    with np.errstate(divide="ignore"):
+        log_word_trans = np.where(trans > 0, np.log(np.maximum(trans, 1e-300)), -np.inf)
+    for w in range(W):
+        lt[w * S : (w + 1) * S, w * S : (w + 1) * S] = log_word_trans[w]
+    entry = np.arange(W) * S
+    exit_ = np.arange(W) * S + (S - 1)
+    for w in range(W):
+        lt[exit_[w], entry] = np.maximum(
+            lt[exit_[w], entry], exit_logprob + lm_logprobs
+        )
+
+    log_entry = np.full(S_tot, -np.inf)
+    log_entry[entry] = lm_logprobs
+
+    return ComposedGraph(
+        log_trans=jnp.asarray(lt),
+        state_to_word=jnp.asarray(np.repeat(np.arange(W, dtype=np.int32), S)),
+        entry_states=jnp.asarray(entry.astype(np.int32)),
+        exit_states=jnp.asarray(exit_.astype(np.int32)),
+        log_entry=jnp.asarray(log_entry),
+        words=tuple(vocab.word) if isinstance(vocab.word, tuple) else (),
+    )
+
+
+def compose_sequence(vocab: GmmHmm, transcript: list[int]) -> ComposedGraph:
+    """Left-to-right concatenation of the models in `transcript` (word/phone
+    ids into the stacked vocab): unit k's final state feeds unit k+1's entry.
+    This is the embedded-training / forced-alignment graph."""
+    S = vocab.trans.shape[-1]
+    L = len(transcript)
+    S_tot = L * S
+    trans = np.asarray(vocab.trans)
+    with np.errstate(divide="ignore"):
+        logt = np.where(trans > 0, np.log(np.maximum(trans, 1e-300)), -np.inf)
+    lt = np.full((S_tot, S_tot), -np.inf)
+    for k, w in enumerate(transcript):
+        lt[k * S : (k + 1) * S, k * S : (k + 1) * S] = logt[w]
+        if k + 1 < L:
+            # exit from unit k's final state into unit k+1's first state; use
+            # the final state's self-loop mass as the exit weight so rows stay
+            # sub-stochastic rather than inventing probability
+            lt[k * S + S - 1, (k + 1) * S] = logt[w][S - 1, S - 1]
+    log_entry = np.full(S_tot, -np.inf)
+    log_entry[0] = 0.0
+    return ComposedGraph(
+        log_trans=jnp.asarray(lt),
+        state_to_word=jnp.asarray(
+            np.repeat(np.asarray(transcript, dtype=np.int32), S)
+        ),
+        entry_states=jnp.asarray((np.arange(L) * S).astype(np.int32)),
+        exit_states=jnp.asarray((np.arange(L) * S + S - 1).astype(np.int32)),
+        log_entry=jnp.asarray(log_entry),
+        words=tuple(vocab.word) if isinstance(vocab.word, tuple) else (),
+    )
+
+
+def composed_emissions(vocab: GmmHmm, frames: jax.Array) -> jax.Array:
+    """(T, S_tot) emission log-likelihoods for the composed space: one
+    batched computation over the stacked vocabulary."""
+    per_word = jax.vmap(
+        lambda m: log_state_emission(frames, m.streams)
+    )(vocab)  # (W, T, S)
+    W, T, S = per_word.shape
+    return jnp.transpose(per_word, (1, 0, 2)).reshape(T, W * S)
+
+
+def emissions_for_graph(
+    vocab: GmmHmm, graph: ComposedGraph, frames: jax.Array
+) -> jax.Array:
+    """(T, S_tot) emissions for an arbitrary composed graph: computed per
+    unique word then gathered by state_to_word (sequence graphs repeat
+    units, so compute once per word, not per occurrence)."""
+    per_word = jax.vmap(lambda m: log_state_emission(frames, m.streams))(vocab)
+    S = per_word.shape[-1]
+    n_states = graph.state_to_word.shape[0]
+    within = jnp.arange(n_states) % S
+    return jnp.transpose(per_word, (1, 0, 2))[:, graph.state_to_word, within]
+
+
+@partial(jax.jit, static_argnames=("n_best",))
+def token_passing(
+    graph: ComposedGraph,
+    log_b: jax.Array,
+    length: jax.Array | None = None,
+    n_best: int = 1,
+):
+    """Frame-synchronous K-best Viterbi over the composed graph.
+
+    log_b: (T, S_tot).  Returns (scores (S_tot, K) at the last valid frame,
+    backpointers (T-1, S_tot, K) flat from-(state*K+k) indices).
+    """
+    T, S_tot = log_b.shape
+    K = n_best
+    init = graph.log_entry[:, None] + log_b[0][:, None]  # (S, 1) -> pad K
+    init = jnp.concatenate(
+        [init, jnp.full((S_tot, K - 1), -jnp.inf, log_b.dtype)], axis=1
+    )
+    id_bp = (jnp.arange(S_tot)[:, None] * K + jnp.arange(K)[None, :]).astype(
+        jnp.int32
+    )
+
+    def step(carry, inputs):
+        lb, t = inputs
+        # candidates into state j: carry[i, k] + log_trans[i, j]
+        cand = carry[:, :, None] + graph.log_trans[:, None, :]  # (S, K, S_to)
+        cand = cand.reshape(S_tot * K, S_tot)
+        top, idx = jax.lax.top_k(cand.T, K)  # (S_to, K)
+        new = top + lb[:, None]
+        bp = idx.astype(jnp.int32)
+        if length is not None:
+            keep = t < length
+            new = jnp.where(keep, new, carry)
+            bp = jnp.where(keep, bp, id_bp)
+        return new, bp
+
+    ts = jnp.arange(1, T)
+    final, bps = jax.lax.scan(step, init, (log_b[1:], ts))
+    return final, bps
+
+
+def backtrace_words(
+    graph: ComposedGraph,
+    final_scores: np.ndarray,
+    backpointers: np.ndarray,
+    length: int,
+    rank: int = 0,
+) -> tuple[float, list[int], list[tuple[int, int]]]:
+    """Recover the rank-th best word sequence from a token-passing run.
+
+    Returns (score, word_ids, word_spans) where word_spans are (start, end)
+    frame ranges.  Ends in any word's exit state (word-loop semantics).
+    """
+    exit_states = np.asarray(graph.exit_states)
+    s2w = np.asarray(graph.state_to_word)
+    K = final_scores.shape[1]
+    # best end tokens among exit states
+    ends = [(final_scores[s, k], s, k) for s in exit_states for k in range(K)]
+    ends.sort(key=lambda x: -x[0])
+    score, state, k = ends[min(rank, len(ends) - 1)]
+
+    path = [state]
+    for t in range(length - 2, -1, -1):
+        flat = backpointers[t, state, k]
+        state, k = int(flat) // K, int(flat) % K
+        path.append(state)
+    path.reverse()
+
+    entry_set = set(int(s) for s in np.asarray(graph.entry_states))
+    exit_set = set(int(s) for s in exit_states)
+    words, spans = [], []
+    start = 0
+    for t in range(1, length):
+        # a word boundary is exactly an exit->entry arc: left-right internals
+        # never reach an entry state except via its self-loop (from itself)
+        crossed = (
+            path[t] in entry_set
+            and path[t - 1] in exit_set
+            and path[t] != path[t - 1]
+        )
+        if crossed:
+            words.append(int(s2w[path[start]]))
+            spans.append((start, t))
+            start = t
+    words.append(int(s2w[path[start]]))
+    spans.append((start, length))
+    return float(score), words, spans
+
+
+def decode_continuous(
+    vocab: GmmHmm,
+    frames: jax.Array,
+    lm_logprobs: np.ndarray | None = None,
+    n_best: int = 1,
+    exit_logprob: float = float(np.log(0.1)),
+):
+    """End-to-end continuous decode: compose word loop, token-pass, return
+    the N best (score, word_ids, spans) hypotheses."""
+    graph = compose_word_loop(vocab, lm_logprobs, exit_logprob)
+    log_b = composed_emissions(vocab, frames)
+    final, bps = token_passing(graph, log_b, n_best=n_best)
+    final = np.asarray(final)
+    bps = np.asarray(bps)
+    T = log_b.shape[0]
+    out = []
+    seen = set()
+    for r in range(n_best * len(np.asarray(graph.exit_states))):
+        score, words, spans = backtrace_words(graph, final, bps, T, rank=r)
+        key = tuple(words)
+        if key not in seen and np.isfinite(score):
+            seen.add(key)
+            out.append((score, words, spans))
+        if len(out) >= n_best:
+            break
+    return out

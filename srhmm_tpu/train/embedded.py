@@ -1,0 +1,279 @@
+"""Embedded re-estimation: Baum-Welch over transcript-composed HMM chains.
+
+The reference trains each word model in isolation from pre-segmented
+exemplars.  Phone-based systems (BASELINE.json config 4: ~40 monophones,
+32-mixture GMMs) instead train ALL unit models jointly from full utterances
+plus transcripts: each utterance's HMM is the left-to-right concatenation of
+its transcript's unit models (decode/continuous.py compose_sequence), the
+forward-backward runs over the composed state space, and the per-position
+statistics scatter-add back onto the shared unit models.
+
+TPU-native design:
+* unit emissions/posteriors are computed ONCE per unit (P, T, S[, M]) — a
+  batched GEMM over the whole unit inventory — then gathered per transcript
+  position; repeated units cost nothing extra;
+* the composed forward/backward reuses the masked log-space scans over the
+  (T, L*S) lattice; xi is accumulated block-wise ((L, S, S) within-unit plus
+  the (L-1,) chain arcs folded into the exit self-loop, never materializing
+  (L*S)^2 per frame;
+* the scatter back to units is `zeros.at[transcript].add(...)` — a dense
+  segment-sum XLA lowers efficiently; utterances with equal (T, L) buckets
+  batch under vmap;
+* the M-step is the standard one vmapped over the unit axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gmm_hmm import FULL, GmmHmm
+from ..ops.emission import log_mixture_posteriors
+from ..ops.forward_backward import log_backward_full, log_forward_full
+from .em import StreamStats, SuffStats, m_step
+
+
+def _composed_log_trans(unit_log_trans: jax.Array) -> jax.Array:
+    """(L, S, S) per-position unit transitions -> (L*S, L*S) chain graph.
+    The chain arc k.exit -> (k+1).entry carries the exit state's self-loop
+    mass (see decode/continuous.compose_sequence)."""
+    L, S, _ = unit_log_trans.shape
+    lt = jnp.full((L, S, L, S), -jnp.inf, unit_log_trans.dtype)
+    lt = lt.at[jnp.arange(L), :, jnp.arange(L), :].set(unit_log_trans)
+    if L > 1:
+        arc = unit_log_trans[:-1, S - 1, S - 1]
+        lt = lt.at[jnp.arange(L - 1), S - 1, jnp.arange(1, L), 0].set(arc)
+    return lt.reshape(L * S, L * S)
+
+
+def utterance_stats(
+    models: GmmHmm,
+    transcript: jax.Array,
+    feats: jax.Array,
+    length: jax.Array,
+) -> SuffStats:
+    """E-step statistics for one utterance against the shared unit models.
+
+    models: stacked GmmHmm with leading unit axis P; transcript: (L,) int32
+    unit ids; feats: (T, D) padded; length: valid frames.
+    Returns SuffStats with leading P axes (per-unit).
+    """
+    P = models.trans.shape[0]
+    S = models.trans.shape[-1]
+    L = transcript.shape[0]
+    T = feats.shape[0]
+    dtype = feats.dtype
+
+    # per-unit emissions and posteriors, computed once per unit
+    def unit_em(m: GmmHmm):
+        lbs, posts = [], []
+        for stream in m.streams:
+            lb, post = log_mixture_posteriors(feats, stream)
+            lbs.append(lb)
+            posts.append(post)
+        return sum(lbs[1:], lbs[0]), posts
+
+    unit_lb, unit_posts = jax.vmap(unit_em)(models)  # (P, T, S), [(P, T, S, M)]
+
+    lb_pos = jnp.transpose(unit_lb, (1, 0, 2))[:, transcript]  # (T, L, S)
+    log_b = lb_pos.reshape(T, L * S)
+
+    unit_logt = models.log_trans().astype(dtype)  # (P, S, S)
+    pos_logt = unit_logt[transcript]  # (L, S, S)
+    log_trans = _composed_log_trans(pos_logt)
+
+    la = log_forward_full(log_b, log_trans, length)
+    lbw = log_backward_full(log_b, log_trans, length)
+    log_z = la[-1, -1]
+    valid = jnp.isfinite(log_z) & (length > 0)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    t_idx = jnp.arange(T)
+    frame_mask = (t_idx < length).astype(dtype)
+    la_p = la.reshape(T, L, S)
+    lb_p = lbw.reshape(T, L, S)
+
+    gamma = jnp.exp(jnp.minimum(la_p + lb_p - safe_z, 0.0)) * frame_mask[:, None, None]
+
+    xi_mask = (t_idx[:-1] < length - 1).astype(dtype)
+    fwd_in = (lb_pos + lb_p)[1:]  # (T-1, L, S): log_b + beta at t+1
+    log_xi = (
+        la_p[:-1, :, :, None] + pos_logt[None] + fwd_in[:, :, None, :] - safe_z
+    )
+    xi = jnp.exp(jnp.minimum(log_xi, 0.0)) * xi_mask[:, None, None, None]
+    xi_pos = xi.sum(0)  # (L, S, S)
+    if L > 1:
+        arc = pos_logt[:-1, S - 1, S - 1]
+        cross = (
+            la_p[:-1, :-1, S - 1] + arc[None] + fwd_in[:, 1:, 0] - safe_z
+        )
+        cross_flow = jnp.exp(jnp.minimum(cross, 0.0)) * xi_mask[:, None]
+        xi_pos = xi_pos.at[:-1, S - 1, S - 1].add(cross_flow.sum(0))
+
+    den_trans_pos = (gamma[:-1] * xi_mask[:, None, None]).sum(0)  # (L, S)
+    den_mix_pos = gamma.sum(0)  # (L, S)
+
+    # scatter per-position stats back to units
+    seg = lambda vals, shape: jnp.zeros(shape, dtype).at[transcript].add(vals)
+    num_trans = seg(xi_pos, (P, S, S))
+    den_trans = seg(den_trans_pos, (P, S))
+    den_mix = seg(den_mix_pos, (P, S))
+
+    stream_stats = []
+    for si, stream in enumerate(models.streams):
+        post_pos = jnp.transpose(unit_posts[si], (1, 0, 2, 3))[:, transcript]
+        gm = gamma[..., None] * post_pos  # (T, L, S, M)
+        M = gm.shape[-1]
+        D = feats.shape[-1]
+        w = seg(gm.sum(0), (P, S, M))
+        x = seg(
+            jnp.einsum("tlsm,td->lsmd", gm, feats, preferred_element_type=dtype),
+            (P, S, M, D),
+        )
+        if stream.cov_type == FULL:
+            xx = seg(
+                jnp.einsum(
+                    "tlsm,td,te->lsmde", gm, feats, feats,
+                    preferred_element_type=dtype,
+                ),
+                (P, S, M, D, D),
+            )
+        else:
+            xx = seg(
+                jnp.einsum(
+                    "tlsm,td->lsmd", gm, feats * feats,
+                    preferred_element_type=dtype,
+                ),
+                (P, S, M, D),
+            )
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+
+    zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
+    return SuffStats(
+        num_trans=zero(num_trans),
+        den_trans=zero(den_trans),
+        den_mix=zero(den_mix),
+        streams=tuple(
+            StreamStats(w=zero(s.w), x=zero(s.x), xx=zero(s.xx))
+            for s in stream_stats
+        ),
+        log_prob=jnp.where(valid, log_z, 0.0),
+        num_valid=valid.astype(dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("var_floor",))
+def embedded_em_step(
+    models: GmmHmm,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    var_floor: float = 0.0,
+):
+    """One embedded EM iteration over a bucket of utterances with equal
+    padded shapes.  transcripts: (B, L) unit ids (pad positions by repeating
+    the last unit and masking via lengths is NOT needed — transcripts must be
+    exact; bucket utterances by transcript length); feats: (B, T, D).
+    Returns (new models (P-stacked), total log prob, num valid).
+    """
+    per_utt = jax.vmap(lambda tr, f, l: utterance_stats(models, tr, f, l))(
+        transcripts, feats, lengths
+    )
+    stats = jax.tree.map(lambda a: a.sum(0), per_utt)
+    new_models = jax.vmap(lambda m, s: m_step(m, s, var_floor=var_floor))(
+        models, _unstack_stats_axis(stats)
+    )
+    return new_models, stats.log_prob, stats.num_valid
+
+
+def _unstack_stats_axis(stats: SuffStats) -> SuffStats:
+    """SuffStats whose arrays carry a leading P axis; scalar fields must be
+    broadcast so vmap over units sees per-unit scalars."""
+    P = stats.num_trans.shape[0]
+    return SuffStats(
+        num_trans=stats.num_trans,
+        den_trans=stats.den_trans,
+        den_mix=stats.den_mix,
+        streams=stats.streams,
+        log_prob=jnp.broadcast_to(stats.log_prob, (P,)),
+        num_valid=jnp.broadcast_to(stats.num_valid, (P,)),
+    )
+
+
+def train_embedded(
+    models: GmmHmm,
+    utterances: list[np.ndarray],
+    transcripts: list[list[int]],
+    threshold: float = 1e-3,
+    max_iterations: int = 50,
+    var_floor: float = 0.0,
+    pad_multiple: int = 32,
+):
+    """Embedded EM driver: buckets utterances by transcript length, runs
+    jitted per-bucket steps, merges statistics, converges on total log prob
+    (reference convergence semantics)."""
+    from ..io.dataset import round_up
+    from .em_parity import TrainResult
+
+    dtype = models.trans.dtype
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (u, tr) in enumerate(zip(utterances, transcripts)):
+        key = (round_up(len(u), pad_multiple), len(tr))
+        buckets.setdefault(key, []).append(i)
+
+    packed = []
+    for (T, L), idxs in buckets.items():
+        D = utterances[0].shape[1]
+        feats = np.zeros((len(idxs), T, D))
+        lengths = np.zeros(len(idxs), np.int32)
+        trs = np.zeros((len(idxs), L), np.int32)
+        for row, i in enumerate(idxs):
+            feats[row, : len(utterances[i])] = utterances[i]
+            lengths[row] = len(utterances[i])
+            trs[row] = transcripts[i]
+        packed.append(
+            (
+                jnp.asarray(trs),
+                jnp.asarray(feats, dtype),
+                jnp.asarray(lengths),
+            )
+        )
+
+    old = 1.0
+    history = []
+    iteration = 0
+    n_valid = 0
+    while iteration < max_iterations:
+        iteration += 1
+        total_lp = 0.0
+        n_valid = 0
+        agg_stats = None
+        for trs, feats, lengths in packed:
+            per_utt = jax.vmap(
+                lambda tr, f, l: utterance_stats(models, tr, f, l)
+            )(trs, feats, lengths)
+            stats = jax.tree.map(lambda a: a.sum(0), per_utt)
+            total_lp += float(stats.log_prob)
+            n_valid += int(stats.num_valid)
+            agg_stats = (
+                stats
+                if agg_stats is None
+                else jax.tree.map(jnp.add, agg_stats, stats)
+            )
+        history.append(total_lp)
+        if old != 0.0 and abs((old - total_lp) / old) <= threshold:
+            break
+        old = total_lp
+        models = jax.vmap(
+            lambda m, s: m_step(m, s, var_floor=var_floor)
+        )(models, _unstack_stats_axis(agg_stats))
+    return TrainResult(
+        model=models,
+        iterations=iteration,
+        mean_log_prob=history[-1] / max(n_valid, 1),
+        exemplar_count=n_valid,
+        log_prob_history=history,
+    )

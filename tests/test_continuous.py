@@ -1,0 +1,116 @@
+"""Continuous decoding: composed word-loop token passing, N-best, forced
+alignment via sequence composition."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.decode.continuous import (
+    compose_sequence,
+    compose_word_loop,
+    composed_emissions,
+    decode_continuous,
+    emissions_for_graph,
+    token_passing,
+    backtrace_words,
+)
+from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
+
+
+def _word_model(seed, S=3, D=4):
+    """A 1-mixture diag model with distinctive means per word."""
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, 1, D)) * 6.0
+    var = np.full((S, 1, D), 1.0)
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.ones((S, 1)),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+        word=f"w{seed}",
+    )
+
+
+def _sample_word(model, rng, frames_per_state=4):
+    mu = np.asarray(model.streams[0].means)[:, 0]
+    out = []
+    for s in range(mu.shape[0]):
+        for _ in range(frames_per_state):
+            out.append(mu[s] + 0.1 * rng.normal(size=mu.shape[1]))
+    return np.asarray(out)
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return stack_models([_word_model(i) for i in range(5)])
+
+
+def test_decode_recovers_word_string(vocab):
+    rng = np.random.default_rng(0)
+    truth = [2, 0, 4, 1]
+    frames = np.concatenate(
+        [_sample_word(_word_model(w), rng) for w in truth]
+    )
+    hyps = decode_continuous(vocab, jnp.asarray(frames), n_best=1)
+    score, words, spans = hyps[0]
+    assert words == truth
+    # spans tile the utterance
+    assert spans[0][0] == 0 and spans[-1][1] == len(frames)
+    assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+    # each word's span should be ~12 frames (4/state x 3 states)
+    for (a, b) in spans:
+        assert 8 <= b - a <= 16
+
+
+def test_n_best_contains_truth_first(vocab):
+    rng = np.random.default_rng(1)
+    truth = [3, 1]
+    frames = np.concatenate([_sample_word(_word_model(w), rng) for w in truth])
+    hyps = decode_continuous(vocab, jnp.asarray(frames), n_best=3)
+    assert len(hyps) >= 2
+    assert hyps[0][1] == truth
+    scores = [h[0] for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+    assert len({tuple(h[1]) for h in hyps}) == len(hyps)  # distinct strings
+
+
+def test_forced_alignment_matches_truth_segmentation(vocab):
+    rng = np.random.default_rng(2)
+    truth = [0, 2, 2, 1]
+    per_word = [_sample_word(_word_model(w), rng) for w in truth]
+    frames = jnp.asarray(np.concatenate(per_word))
+    graph = compose_sequence(vocab, truth)
+    log_b = emissions_for_graph(vocab, graph, frames)
+    final, bps = token_passing(graph, log_b, n_best=1)
+    # force the END of the transcript: last unit's exit state
+    exit_last = int(np.asarray(graph.exit_states)[-1])
+    score = float(np.asarray(final)[exit_last, 0])
+    assert np.isfinite(score)
+    _, words, spans = backtrace_words(
+        graph, np.asarray(final), np.asarray(bps), log_b.shape[0]
+    )
+    assert words == truth
+    # boundaries within 2 frames of the true 12-frame grid
+    for i, (a, b) in enumerate(spans):
+        assert abs(a - 12 * i) <= 2
+
+
+def test_word_loop_graph_shapes(vocab):
+    g = compose_word_loop(vocab)
+    S_tot = 5 * 3
+    assert g.log_trans.shape == (S_tot, S_tot)
+    # exactly W exit->entry arc rows exist
+    lt = np.asarray(g.log_trans)
+    for w, ex in enumerate(np.asarray(g.exit_states)):
+        finite = np.isfinite(lt[ex])
+        # self-loop + all 5 entries
+        assert finite.sum() >= 5
+    frames = jnp.asarray(np.random.default_rng(3).normal(size=(10, 4)))
+    lb = composed_emissions(vocab, frames)
+    assert lb.shape == (10, S_tot)

@@ -1,0 +1,121 @@
+"""Embedded re-estimation over transcript-composed chains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
+from srhmm_tpu.train.em import em_step
+from srhmm_tpu.train.embedded import train_embedded, utterance_stats
+from srhmm_tpu.io.dataset import pack_utterances
+
+
+def _unit(seed, S=3, M=2, D=5, spread=5.0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, M, D)) * spread
+    var = rng.uniform(0.8, 1.2, size=(S, M, D))
+    w = rng.uniform(0.4, 0.6, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+        word=f"u{seed}",
+    )
+
+
+def _sample_units(unit_models, transcript, rng, frames_per_state=5):
+    out = []
+    for u in transcript:
+        mu = np.asarray(unit_models[u].streams[0].means)
+        w = np.asarray(unit_models[u].streams[0].weights)
+        for s in range(mu.shape[0]):
+            for _ in range(frames_per_state):
+                m = rng.choice(mu.shape[1], p=w[s])
+                out.append(mu[s, m] + 0.3 * rng.normal(size=mu.shape[2]))
+    return np.asarray(out)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    units = [_unit(i) for i in range(4)]
+    stacked = stack_models(units)
+    rng = np.random.default_rng(0)
+    transcripts = [
+        [0, 1, 2],
+        [2, 3, 0],
+        [1, 0, 3],
+        [3, 2, 1],
+        [0, 2, 1, 3],
+        [1, 3, 0, 2],
+    ]
+    utts = [_sample_units(units, tr, rng) for tr in transcripts]
+    return stacked, utts, transcripts
+
+
+def test_single_unit_transcript_equals_isolated_em(setup):
+    """A 1-unit transcript reduces embedded stats to the isolated E-step."""
+    stacked, _, _ = setup
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(40, 5)))
+    length = jnp.asarray(40)
+    st_emb = utterance_stats(
+        stacked, jnp.asarray([1], dtype=jnp.int32), feats, length
+    )
+    # isolated E-step on unit 1
+    from srhmm_tpu.train.em import _per_utterance_stats
+
+    unit1 = jax.tree.map(lambda a: a[1], stacked.replace(word=""))
+    st_iso = _per_utterance_stats(unit1, feats, length)
+    np.testing.assert_allclose(
+        float(st_emb.log_prob), float(st_iso.log_prob), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_emb.num_trans[1]), np.asarray(st_iso.num_trans), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_emb.streams[0].w[1]),
+        np.asarray(st_iso.streams[0].w),
+        rtol=1e-9,
+    )
+    # other units untouched
+    assert np.asarray(st_emb.streams[0].w[0]).sum() == 0.0
+    assert np.asarray(st_emb.streams[0].w[2:]).sum() == 0.0
+
+
+def test_embedded_training_improves_and_converges(setup):
+    stacked, utts, transcripts = setup
+    rng = np.random.default_rng(2)
+    st = stacked.streams[0]
+    perturbed = stacked.replace(
+        streams=(st.replace(means=st.means + 0.7 * rng.normal(size=st.means.shape)),)
+    )
+    res = train_embedded(
+        perturbed, utts, transcripts, threshold=1e-5, max_iterations=30
+    )
+    h = res.log_prob_history
+    assert res.exemplar_count == len(utts)
+    assert all(h[i + 1] >= h[i] - 1e-6 * abs(h[i]) for i in range(len(h) - 1))
+    # trained units should beat the perturbed start substantially
+    assert h[-1] > h[0] + 10.0
+
+
+def test_embedded_gamma_mass_conservation(setup):
+    """Per-frame occupancy sums to 1 over the composed lattice."""
+    stacked, utts, transcripts = setup
+    from srhmm_tpu.train.embedded import utterance_stats
+
+    tr = jnp.asarray(transcripts[0], dtype=jnp.int32)
+    feats = jnp.asarray(utts[0])
+    stats = utterance_stats(stacked, tr, feats, jnp.asarray(len(utts[0])))
+    # total occupancy = num frames
+    total = float(sum(np.asarray(s.w).sum() for s in stats.streams))
+    np.testing.assert_allclose(total, len(utts[0]), rtol=1e-6)
