@@ -1,0 +1,94 @@
+"""Pallas TPU kernels vs the jnp reference implementations (interpret mode
+on CPU; the same kernels compile for TPU on the bench path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.models import DIAG, GmmStream, init_left_right_trans
+from srhmm_tpu.ops import log_forward, log_state_emission, score_final_state, score_total, viterbi
+from srhmm_tpu.ops.pallas import (
+    backtrace,
+    log_forward_batch_pallas,
+    log_state_emission_fused,
+    viterbi_batch_pallas,
+)
+
+
+def _stream(rng, S=8, M=3, D=9):
+    means = rng.normal(size=(S, M, D)) * 2.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    return GmmStream(
+        weights=jnp.asarray(w),
+        means=jnp.asarray(means),
+        inv_cov=jnp.asarray(1.0 / var),
+        det=jnp.asarray(np.prod(var, -1)),
+        cov_type=DIAG,
+    )
+
+
+def test_fused_emission_matches_reference():
+    rng = np.random.default_rng(0)
+    stream = _stream(rng)
+    frames = jnp.asarray(rng.normal(size=(256, 9)), jnp.float32)
+    got = np.asarray(log_state_emission_fused(frames, stream, interpret=True))
+    want = np.asarray(log_state_emission(frames, (stream.astype(jnp.float32),)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_forward_kernel_matches_scan():
+    rng = np.random.default_rng(1)
+    B, T, S = 4, 64, 8
+    log_b = jnp.asarray(rng.normal(size=(B, T, S)), jnp.float32)
+    trans = init_left_right_trans(S).astype(jnp.float32)
+    log_trans = jnp.where(trans > 0, jnp.log(jnp.maximum(trans, 1e-30)), -jnp.inf)
+    lengths = jnp.asarray([64, 50, 33, 1], jnp.int32)
+
+    out = np.asarray(
+        log_forward_batch_pallas(log_b, log_trans, lengths, interpret=True)
+    )
+    for i in range(B):
+        ref = np.asarray(
+            log_forward(log_b[i].astype(jnp.float64), log_trans.astype(jnp.float64), lengths[i])
+        )
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(out[i][finite], ref[finite], rtol=1e-4, atol=1e-4)
+        assert (out[i][~finite] < -1e29).all()
+
+
+def test_viterbi_kernel_matches_reference():
+    rng = np.random.default_rng(2)
+    B, T, S = 3, 48, 6
+    log_b = jnp.asarray(rng.normal(size=(B, T, S)), jnp.float32)
+    trans = init_left_right_trans(S, delta=2).astype(jnp.float32)
+    log_trans = jnp.where(trans > 0, jnp.log(jnp.maximum(trans, 1e-30)), -jnp.inf)
+    lengths = jnp.asarray([48, 40, 25], jnp.int32)
+
+    scores, bptr = viterbi_batch_pallas(log_b, log_trans, lengths, interpret=True)
+    paths = np.asarray(backtrace(bptr, lengths, S - 1))
+    scores = np.asarray(scores)
+    for i in range(B):
+        ref_score, ref_path = viterbi(
+            log_b[i].astype(jnp.float64),
+            log_trans.astype(jnp.float64),
+            lengths[i],
+        )
+        np.testing.assert_allclose(scores[i, S - 1], float(ref_score), rtol=1e-4)
+        L = int(lengths[i])
+        np.testing.assert_array_equal(paths[i][:L], np.asarray(ref_path)[:L])
+
+
+def test_fused_mfcc_matches_frontend():
+    from srhmm_tpu.features import FrontendConfig, mfcc
+    from srhmm_tpu.features.pallas_mfcc import mfcc_pallas
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=16_000), jnp.float32)
+    got = np.asarray(mfcc_pallas(x, cfg, interpret=True))
+    want = np.asarray(mfcc(x, cfg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
