@@ -67,15 +67,15 @@ def mfcc_pallas(
         _mfcc_kernel,
         grid=(F_pad // f_block,),
         in_specs=[
-            pl.BlockSpec((1,), lambda f: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((f_block, W), lambda f: (f, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, K), lambda f: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, K), lambda f: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, n_mels), lambda f: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_mels, n_mfcc), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda f: (f * 0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((f_block, W), lambda f: (f, f * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, K), lambda f: (f * 0, f * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, K), lambda f: (f * 0, f * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, n_mels), lambda f: (f * 0, f * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, n_mfcc), lambda f: (f * 0, f * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (f_block, n_mfcc), lambda f: (f, 0), memory_space=pltpu.VMEM
+            (f_block, n_mfcc), lambda f: (f, f * 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((F_pad, n_mfcc), jnp.float32),
         interpret=interpret,

@@ -89,12 +89,12 @@ def emission_log_b_pallas(
         _emission_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t_block, 2 * D), lambda t, m: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * D, S), lambda t, m: (m, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda t, m: (m, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_block, 2 * D), lambda t, m: (t, m * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * D, S), lambda t, m: (m, t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda t, m: (m, t * 0, t * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (t_block, S), lambda t, m: (t, 0), memory_space=pltpu.VMEM
+            (t_block, S), lambda t, m: (t, m * 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, S), jnp.float32),
         interpret=interpret,

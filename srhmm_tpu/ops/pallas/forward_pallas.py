@@ -29,26 +29,35 @@ NEG_INF = -1e30  # -inf surrogate inside kernels (avoids inf-inf NaNs on VPU)
 
 def _forward_kernel(len_ref, lb_ref, lt_ref, out_ref):
     S = lt_ref.shape[0]
-    length = len_ref[0]
+    dt = lb_ref.dtype
+    # every constant pinned to the kernel dtype: under global x64, weak f64
+    # Python scalars would promote the carry to f64, which Mosaic cannot
+    # lower (its convert-element-type rule recurses)
+    neg = jnp.asarray(NEG_INF, dt)
+    zero = jnp.asarray(0.0, dt)
+    length = len_ref.at[pl.program_id(0)].get()
     lt = lt_ref[:]
 
     init = lb_ref[0, 0:1, :] + jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == 0, 0.0, NEG_INF
+        jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == 0, zero, neg
     )
 
     def step(t, carry):
         # carry: (1, S).  cand[i, j] = carry[i] + lt[i, j]
         cand = carry.reshape(S, 1) + lt
-        m = jnp.max(cand, axis=0, keepdims=True)  # (1, S)
-        safe_m = jnp.maximum(m, NEG_INF)
+        safe_m = jnp.maximum(jnp.max(cand, axis=0, keepdims=True), neg)
         new = safe_m + jnp.log(
             jnp.sum(jnp.exp(cand - safe_m), axis=0, keepdims=True)
         )
         new = new + lb_ref[0, t]
-        return jnp.where(t < length, jnp.maximum(new, NEG_INF), carry)
+        return jnp.where(t < length, jnp.maximum(new, neg), carry)
 
-    final = jax.lax.fori_loop(1, lb_ref.shape[1], step, init)
-    out_ref[:] = final
+    # i32 loop bounds: under global x64 a Python-int bound makes `t` an i64,
+    # whose Mosaic convert-element-type lowering recurses infinitely
+    final = jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(lb_ref.shape[1]), step, init
+    )
+    out_ref[0] = final
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -68,23 +77,32 @@ def log_forward_batch_pallas(
     B, T, S = log_b.shape
     lb = jnp.maximum(log_b.astype(jnp.float32), NEG_INF)
     lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
-    return pl.pallas_call(
-        _forward_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda b, _: (b * 0, b * 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _forward_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
         interpret=interpret,
     )(lengths.astype(jnp.int32), lb, lt)
+    return out[:, 0, :]
 
 
 def _viterbi_kernel(len_ref, lb_ref, lt_ref, score_ref, bptr_ref):
     S = lt_ref.shape[0]
-    length = len_ref[0]
+    # explicit load: indexing a scalar-prefetch ref with a dynamic program id
+    # can yield a TransformedRef whose deferred binary ops recurse at trace
+    # time on the TPU lowering path
+    length = len_ref.at[pl.program_id(0)].get()
     lt = lt_ref[:]
 
     init = lb_ref[0, 0:1, :] + jnp.where(
@@ -102,8 +120,10 @@ def _viterbi_kernel(len_ref, lb_ref, lt_ref, score_ref, bptr_ref):
         bptr_ref[0, t] = jnp.where(keep, arg, idc)
         return jnp.where(keep, new, carry)
 
-    final = jax.lax.fori_loop(1, lb_ref.shape[1], step, init)
-    score_ref[:] = final
+    final = jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(lb_ref.shape[1]), step, init
+    )
+    score_ref[0] = final
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -123,24 +143,30 @@ def viterbi_batch_pallas(
     B, T, S = log_b.shape
     lb = jnp.maximum(log_b.astype(jnp.float32), NEG_INF)
     lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
-    return pl.pallas_call(
-        _viterbi_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda b, _: (b * 0, b * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
         ),
+    )
+    scores, bptr = pl.pallas_call(
+        _viterbi_kernel,
+        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((B, T, S), jnp.int32),
         ),
         interpret=interpret,
     )(lengths.astype(jnp.int32), lb, lt)
+    return scores[:, 0, :], bptr
 
 
 def backtrace(bptr: jax.Array, lengths: jax.Array, end_state: int):
