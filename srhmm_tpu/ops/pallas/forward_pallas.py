@@ -1,18 +1,23 @@
 """Log-space forward and Viterbi scan kernels (Pallas, TPU).
 
-One kernel invocation processes one utterance of a padded batch (grid over
-B): the (T, S) emission lattice block and the (S, S) log-transition matrix
-are VMEM-resident, and the time recursion is an in-kernel `fori_loop`
-carrying the (1, S) state vector in registers — no per-step XLA scan
-overhead, no HBM round-trips between steps.
+Design: **the grid is the time loop**.  Emissions are laid out time-major
+(T, B, S); grid step t streams the (B, S) emission slab into VMEM (Mosaic
+double-buffers the block DMA automatically), updates a persistent (B, S)
+carry held in VMEM scratch, and the batch axis fills the VPU sublanes.  There
+is no in-kernel dynamic indexing and no fori_loop — both of which proved
+fragile in Mosaic on this toolchain (dynamic sublane reads hung compilation
+for T >= 96).
 
-The Viterbi variant additionally writes the (T, S) int32 backpointer lattice
-(argmax over predecessors per step); the backtrace itself is a trivially
-cheap reversed gather done outside the kernel.
+Per-step work for the forward kernel is a (B, S_from, S_to) log-sum-exp
+candidate expansion — pure VPU; Viterbi replaces it with max/argmax and
+writes the (1, B, S) backpointer slab for its grid step.
 
-Sizing: T * S * 4B must fit VMEM alongside (S, S) — e.g. T=4096, S=512 is
-~8.4 MB.  Longer utterances should use time-chunked grids (the carry between
-chunks is the (1, S) vector); not yet needed for the benchmark configs.
+Length masking: lengths ride along as an f32 (1, B) VMEM row; step t keeps
+the old carry for utterances with t >= length, so the final carry equals the
+value at each utterance's last valid frame.
+
+Scores read off as in ops/forward_backward.py: total = logsumexp(out),
+final-state = out[..., -1]; -inf is encoded as -1e30 in-kernel.
 """
 
 from __future__ import annotations
@@ -27,37 +32,36 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # -inf surrogate inside kernels (avoids inf-inf NaNs on VPU)
 
 
-def _forward_kernel(len_ref, lb_ref, lt_ref, out_ref):
-    S = lt_ref.shape[0]
-    dt = lb_ref.dtype
-    # every constant pinned to the kernel dtype: under global x64, weak f64
-    # Python scalars would promote the carry to f64, which Mosaic cannot
-    # lower (its convert-element-type rule recurses)
+def _forward_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
+    t = pl.program_id(0)
+    B, S = carry_ref.shape
+    dt = carry_ref.dtype
     neg = jnp.asarray(NEG_INF, dt)
-    zero = jnp.asarray(0.0, dt)
-    length = len_ref.at[pl.program_id(0)].get()
-    lt = lt_ref[:]
 
-    init = lb_ref[0, 0:1, :] + jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == 0, zero, neg
-    )
-
-    def step(t, carry):
-        # carry: (1, S).  cand[i, j] = carry[i] + lt[i, j]
-        cand = carry.reshape(S, 1) + lt
-        safe_m = jnp.maximum(jnp.max(cand, axis=0, keepdims=True), neg)
-        new = safe_m + jnp.log(
-            jnp.sum(jnp.exp(cand - safe_m), axis=0, keepdims=True)
+    @pl.when(t == 0)
+    def _():
+        start = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == 0,
+            jnp.asarray(0.0, dt),
+            neg,
         )
-        new = new + lb_ref[0, t]
-        return jnp.where(t < length, jnp.maximum(new, neg), carry)
+        carry_ref[:] = lb_ref[0] + start
 
-    # i32 loop bounds: under global x64 a Python-int bound makes `t` an i64,
-    # whose Mosaic convert-element-type lowering recurses infinitely
-    final = jax.lax.fori_loop(
-        jnp.int32(1), jnp.int32(lb_ref.shape[1]), step, init
-    )
-    out_ref[0] = final
+    @pl.when(t > 0)
+    def _():
+        carry = carry_ref[:]
+        cand = carry[:, :, None] + lt_ref[:][None]  # (B, from, to)
+        m = jnp.maximum(jnp.max(cand, axis=1), neg)  # (B, to)
+        new = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None, :]), axis=1))
+        new = jnp.maximum(new + lb_ref[0], neg)
+        # mask built in 2-D from the f32 row: reshaping an i1 vector
+        # ((B,) -> (B,1)) is unsupported in Mosaic for 1-bit types
+        keep = jnp.broadcast_to(len_ref[0][:, None], (B, S)) > t.astype(dt)
+        carry_ref[:] = jnp.where(keep, new, carry)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = carry_ref[:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -67,63 +71,59 @@ def log_forward_batch_pallas(
     lengths: jax.Array,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """(B, T, S) emissions + (S, S) log-transitions -> (B, S) final log-alpha.
-
-    Scores read off as in ops/forward_backward.py: total = logsumexp(out),
-    final-state = out[..., -1].  -inf is represented as -1e30.
-    """
+    """(B, T, S) emissions + (S, S) log-transitions -> (B, S) final log-alpha."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, S = log_b.shape
-    lb = jnp.maximum(log_b.astype(jnp.float32), NEG_INF)
+    lbt = jnp.maximum(
+        jnp.swapaxes(log_b.astype(jnp.float32), 0, 1), NEG_INF
+    )  # (T, B, S)
     lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda b, _: (b * 0, b * 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM
-        ),
-    )
-    out = pl.pallas_call(
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    return pl.pallas_call(
         _forward_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=interpret,
-    )(lengths.astype(jnp.int32), lb, lt)
-    return out[:, 0, :]
+    )(lbt, lt, lens)
 
 
-def _viterbi_kernel(len_ref, lb_ref, lt_ref, score_ref, bptr_ref):
-    S = lt_ref.shape[0]
-    # explicit load: indexing a scalar-prefetch ref with a dynamic program id
-    # can yield a TransformedRef whose deferred binary ops recurse at trace
-    # time on the TPU lowering path
-    length = len_ref.at[pl.program_id(0)].get()
-    lt = lt_ref[:]
+def _viterbi_kernel(lb_ref, lt_ref, len_ref, score_ref, bptr_ref, carry_ref):
+    t = pl.program_id(0)
+    B, S = carry_ref.shape
+    dt = carry_ref.dtype
+    neg = jnp.asarray(NEG_INF, dt)
+    idc = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
 
-    init = lb_ref[0, 0:1, :] + jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == 0, 0.0, NEG_INF
-    )
-    bptr_ref[0, 0] = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
+    @pl.when(t == 0)
+    def _():
+        start = jnp.where(idc == 0, jnp.asarray(0.0, dt), neg)
+        carry_ref[:] = lb_ref[0] + start
+        bptr_ref[0] = idc
 
-    def step(t, carry):
-        cand = carry.reshape(S, 1) + lt  # (from, to)
-        best = jnp.max(cand, axis=0, keepdims=True)  # (1, S)
-        arg = jnp.argmax(cand, axis=0).astype(jnp.int32)  # (S,)
-        new = jnp.maximum(best + lb_ref[0, t], NEG_INF)
-        keep = t < length
-        idc = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
-        bptr_ref[0, t] = jnp.where(keep, arg, idc)
-        return jnp.where(keep, new, carry)
+    @pl.when(t > 0)
+    def _():
+        carry = carry_ref[:]
+        cand = carry[:, :, None] + lt_ref[:][None]  # (B, from, to)
+        best = jnp.max(cand, axis=1)  # (B, to)
+        # lax.argmax with explicit i32: x64 would make the index i64,
+        # which Mosaic's reduce-index lowering rejects
+        arg = jax.lax.argmax(cand, 1, jnp.int32)
+        new = jnp.maximum(best + lb_ref[0], neg)
+        keep = jnp.broadcast_to(len_ref[0][:, None], (B, S)) > t.astype(dt)
+        bptr_ref[0] = jnp.where(keep, arg, idc)
+        carry_ref[:] = jnp.where(keep, new, carry)
 
-    final = jax.lax.fori_loop(
-        jnp.int32(1), jnp.int32(lb_ref.shape[1]), step, init
-    )
-    score_ref[0] = final
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        score_ref[:] = carry_ref[:]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -141,32 +141,31 @@ def viterbi_batch_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, S = log_b.shape
-    lb = jnp.maximum(log_b.astype(jnp.float32), NEG_INF)
+    lbt = jnp.maximum(
+        jnp.swapaxes(log_b.astype(jnp.float32), 0, 1), NEG_INF
+    )
     lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    scores, bptr_tm = pl.pallas_call(
+        _viterbi_kernel,
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda b, _: (b * 0, b * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (1, 1, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, T, S), lambda b, _: (b, b * 0, b * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
         ),
-    )
-    scores, bptr = pl.pallas_call(
-        _viterbi_kernel,
-        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, S), jnp.int32),
+            jax.ShapeDtypeStruct((B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=interpret,
-    )(lengths.astype(jnp.int32), lb, lt)
-    return scores[:, 0, :], bptr
+    )(lbt, lt, lens)
+    return scores, jnp.swapaxes(bptr_tm, 0, 1)
 
 
 def backtrace(bptr: jax.Array, lengths: jax.Array, end_state: int):
@@ -174,8 +173,6 @@ def backtrace(bptr: jax.Array, lengths: jax.Array, end_state: int):
     at the last valid frame (identity through padding)."""
 
     def one(bp, length):
-        T = bp.shape[0]
-
         def step(state, bp_row):
             prev = bp_row[state]
             return prev, prev
