@@ -190,3 +190,44 @@ def parity_score_total(scaling: jax.Array) -> jax.Array:
 def parity_score_final_state(scaling: jax.Array, alpha: jax.Array) -> jax.Array:
     """T1/R2 calc_probability: -sum log c_t + log alpha_scaled[T-1, S-1]."""
     return -jnp.sum(jnp.log(scaling)) + jnp.log(alpha[-1, -1])
+
+
+def log_forward_assoc(
+    log_b: jax.Array, log_trans: jax.Array, length: jax.Array | None = None
+) -> jax.Array:
+    """Parallel-prefix (associative-scan) log-space forward.
+
+    The sequential recursion has O(T) depth; for very long utterances the
+    forward pass can instead be computed as a prefix product of per-frame
+    transfer matrices M_t[i, j] = log_trans[i, j] + log_b[t, j] under the
+    log-matmul semiring, which `lax.associative_scan` evaluates in O(log T)
+    parallel depth (O(T S^3) work vs O(T S^2) — profitable when T is the
+    bottleneck and S is small; SURVEY §5 long-context plan).
+
+    Padded steps contribute identity matrices, so the result equals
+    log_forward at each utterance's last valid frame.  Returns (S,) final
+    log-alpha; scores read off as with log_forward.
+    """
+    T, S = log_b.shape
+    mats = log_trans[None, :, :] + log_b[1:, None, :]  # (T-1, S, S)
+    if length is not None:
+        t_idx = jnp.arange(1, T)
+        eye_log = jnp.where(
+            jnp.eye(S, dtype=bool), 0.0, -jnp.inf
+        ).astype(log_b.dtype)
+        mats = jnp.where(
+            (t_idx < length)[:, None, None], mats, eye_log[None]
+        )
+
+    def op(a, b):
+        return jax.nn.logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    if T == 1:
+        prod = None
+    else:
+        prod = jax.lax.associative_scan(op, mats, axis=0)[-1]  # (S, S)
+
+    init = jnp.full((S,), -jnp.inf, log_b.dtype).at[0].set(0.0) + log_b[0]
+    if prod is None:
+        return init
+    return jax.nn.logsumexp(init[:, None] + prod, axis=0)

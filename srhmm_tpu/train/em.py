@@ -54,15 +54,24 @@ class SuffStats:
     num_valid: jax.Array  # scalar: utterances with finite log P
 
 
-def _per_utterance_stats(model: GmmHmm, feats: jax.Array, length: jax.Array):
-    """E-step statistics for one padded utterance ((T, D), scalar length)."""
+def _per_utterance_stats(model: GmmHmm, feats, length: jax.Array):
+    """E-step statistics for one padded utterance.
+
+    feats: (T, D) array for single-stream models, or a tuple of per-stream
+    (T, D_p) arrays (the reference supports up to 6 parameter streams with
+    distinct feature files per stream, T1:41/T1:256-270; all streams of an
+    utterance must share the frame count — the reference silently assumes
+    this too, T1:274).
+    """
+    feats_per_stream = feats if isinstance(feats, tuple) else (feats,) * len(model.streams)
     S = model.num_states
-    log_trans = model.log_trans().astype(feats.dtype)
+    dtype = feats_per_stream[0].dtype
+    log_trans = model.log_trans().astype(dtype)
 
     log_b = None
     posts = []
-    for stream in model.streams:
-        lb_s, post_s = log_mixture_posteriors(feats, stream)
+    for stream, sf in zip(model.streams, feats_per_stream):
+        lb_s, post_s = log_mixture_posteriors(sf, stream)
         posts.append(post_s)
         log_b = lb_s if log_b is None else log_b + lb_s
 
@@ -72,15 +81,15 @@ def _per_utterance_stats(model: GmmHmm, feats: jax.Array, length: jax.Array):
     valid = jnp.isfinite(log_z) & (length > 0)
     safe_z = jnp.where(valid, log_z, 0.0)
 
-    T = feats.shape[0]
+    T = feats_per_stream[0].shape[0]
     t_idx = jnp.arange(T)
-    frame_mask = (t_idx < length).astype(feats.dtype)
+    frame_mask = (t_idx < length).astype(dtype)
 
     lgamma = la + lbw - safe_z
     gamma = jnp.exp(jnp.minimum(lgamma, 0.0)) * frame_mask[:, None]  # (T, S)
 
     # banded xi statistics (calc_transition_probab T1:1609-1647)
-    xi_mask = (t_idx[:-1] < length - 1).astype(feats.dtype)
+    xi_mask = (t_idx[:-1] < length - 1).astype(dtype)
     log_xi = (
         la[:-1, :, None]
         + log_trans[None, :, :]
@@ -93,19 +102,17 @@ def _per_utterance_stats(model: GmmHmm, feats: jax.Array, length: jax.Array):
     den_mix = gamma.sum(0)
 
     stream_stats = []
-    for stream, post in zip(model.streams, posts):
+    for stream, post, sf in zip(model.streams, posts, feats_per_stream):
         gm = gamma[:, :, None] * post  # (T, S, M)
         w = gm.sum(0)
-        x = jnp.einsum("tsm,td->smd", gm, feats, preferred_element_type=feats.dtype)
+        x = jnp.einsum("tsm,td->smd", gm, sf, preferred_element_type=dtype)
         if stream.cov_type == FULL:
             xx = jnp.einsum(
-                "tsm,td,te->smde", gm, feats, feats,
-                preferred_element_type=feats.dtype,
+                "tsm,td,te->smde", gm, sf, sf, preferred_element_type=dtype
             )
         else:
             xx = jnp.einsum(
-                "tsm,td->smd", gm, feats * feats,
-                preferred_element_type=feats.dtype,
+                "tsm,td->smd", gm, sf * sf, preferred_element_type=dtype
             )
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
@@ -119,17 +126,28 @@ def _per_utterance_stats(model: GmmHmm, feats: jax.Array, length: jax.Array):
             for s in stream_stats
         ),
         log_prob=jnp.where(valid, log_z, 0.0),
-        num_valid=valid.astype(feats.dtype),
+        num_valid=valid.astype(dtype),
     )
 
 
-def e_step(model: GmmHmm, batch: UtteranceBatch) -> SuffStats:
+def e_step(model: GmmHmm, batch) -> SuffStats:
     """Batched E-step: per-utterance stats vmapped over B, summed over the
     batch axis.  Under pjit with the batch sharded on `data`, the sum is an
-    ICI all-reduce."""
-    per_utt = jax.vmap(lambda f, l: _per_utterance_stats(model, f, l))(
-        batch.features, batch.lengths
-    )
+    ICI all-reduce.
+
+    batch: an UtteranceBatch, or a tuple of UtteranceBatch (one per stream,
+    equal lengths) for multi-stream models.
+    """
+    if isinstance(batch, tuple):
+        feats = tuple(b.features for b in batch)
+        lengths = batch[0].lengths
+        per_utt = jax.vmap(
+            lambda *args: _per_utterance_stats(model, tuple(args[:-1]), args[-1])
+        )(*feats, lengths)
+    else:
+        per_utt = jax.vmap(lambda f, l: _per_utterance_stats(model, f, l))(
+            batch.features, batch.lengths
+        )
     return jax.tree.map(lambda a: a.sum(0), per_utt)
 
 

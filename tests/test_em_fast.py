@@ -151,3 +151,48 @@ def test_pathological_full_cov_stays_finite(reference_root):
     res = train_fast(init, batch, max_iterations=10, var_floor=1.0)
     assert np.isfinite(res.log_prob_history).all()
     assert np.isfinite(np.asarray(res.model.streams[0].log_det)).all()
+
+
+def test_multi_stream_em():
+    """Two-stream model (distinct feature files per stream, reference
+    MAX_PARAMETERS_NUMBER capability): EM trains and matches the parity
+    oracle on the fixture data split into two streams."""
+    import numpy as np
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans
+    from srhmm_tpu.train.em import em_step
+
+    rng = np.random.default_rng(7)
+    S, M = 4, 2
+    streams = []
+    utts_per_stream = []
+    for p, D in enumerate([5, 3]):
+        means = rng.normal(size=(S, M, D)) * 3.0
+        var = rng.uniform(0.6, 1.4, size=(S, M, D))
+        w = rng.uniform(0.4, 0.6, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        streams.append(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            )
+        )
+    model = GmmHmm(trans=init_left_right_trans(S), streams=tuple(streams))
+    lengths = [40, 52, 36]
+    utts_s0 = [rng.normal(size=(L, 5)) for L in lengths]
+    utts_s1 = [rng.normal(size=(L, 3)) for L in lengths]
+    b0 = pack_utterances(utts_s0, pad_multiple=16, dtype=jnp.float64)
+    b1 = pack_utterances(utts_s1, pad_multiple=16, dtype=jnp.float64)
+    new_model, lp, nv = em_step(model, (b0, b1))
+    assert float(nv) == 3
+    assert np.isfinite(float(lp))
+    # parity oracle on the same data
+    from srhmm_tpu.train.em_parity import train_word_parity
+
+    res = train_word_parity([utts_s0, utts_s1], model, max_iterations=1)
+    np.testing.assert_allclose(float(lp), res.log_prob_history[0], rtol=1e-9)
+    # second EM iteration improves the likelihood
+    _, lp2, _ = em_step(new_model, (b0, b1))
+    assert float(lp2) >= float(lp)

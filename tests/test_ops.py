@@ -182,3 +182,22 @@ def test_scaled_parity_matches_log_path():
     np.testing.assert_allclose(
         gamma_norm.sum(1), gamma_norm[0].sum() * np.ones(T), rtol=1e-9
     )
+
+
+def test_associative_scan_forward_matches_sequential():
+    from srhmm_tpu.ops.forward_backward import log_forward_assoc
+
+    rng = np.random.default_rng(6)
+    T, S = 37, 5
+    log_b = jnp.asarray(rng.normal(size=(T, S)))
+    trans = init_left_right_trans(S)
+    log_trans = jnp.where(trans > 0, jnp.log(jnp.where(trans > 0, trans, 1.0)), -jnp.inf)
+    ref = np.asarray(log_forward(log_b, log_trans))
+    got = np.asarray(log_forward_assoc(log_b, log_trans))
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
+    assert (got[~finite] == -np.inf).all() or np.allclose(got[~finite], ref[~finite])
+    # masked variant
+    padded = jnp.concatenate([log_b, jnp.asarray(rng.normal(size=(11, S)))], 0)
+    got_m = np.asarray(log_forward_assoc(padded, log_trans, length=T))
+    np.testing.assert_allclose(got_m[finite], ref[finite], rtol=1e-10)
