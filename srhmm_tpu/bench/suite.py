@@ -1,0 +1,206 @@
+"""Benchmark suite: the five BASELINE.json configurations.
+
+  1. single word, 5 states, 1 diag Gaussian, MFCC-13 (reference-scale)
+  2. 10-word isolated digits, 8 states, 4-mix diag, full Baum-Welch
+  3. continuous digit strings: composed word HMMs + token-passing decode
+  4. ~40 monophones, 32-mix GMMs, embedded re-estimation
+  5. tied-state triphones, 2k states x 16 mixtures, mixture-sharded EM
+
+Each config reports EM audio-seconds/s (or decode RTF for config 3) on
+whatever devices are visible; config 5 shards mixtures over a `model` mesh
+axis when more than one device is present.  `python -m srhmm_tpu.bench.suite
+[config...]` prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAME_SHIFT_S = 0.01
+
+
+def _synth_utts(rng, B, T, D, S):
+    state_means = rng.normal(size=(S, D)) * 5.0
+    utts = []
+    for _ in range(B):
+        bounds = np.sort(rng.choice(np.arange(1, T), S - 1, replace=False))
+        ids = np.zeros(T, dtype=int)
+        for k, b in enumerate(bounds):
+            ids[b:] = k + 1
+        utts.append(state_means[ids] + rng.normal(size=(T, D)))
+    return utts
+
+
+def _rand_model(rng, S, M, D, dtype):
+    import jax.numpy as jnp
+
+    from ..models import DIAG, GmmHmm, GmmStream, init_left_right_trans
+
+    means = rng.normal(size=(S, M, D)) * 3.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(dtype)
+
+
+def _time_em(model, batch, iters=10, var_floor=0.0):
+    import jax
+
+    from ..train.em import em_step
+
+    new_model, lp, nv = em_step(model, batch, var_floor)
+    jax.block_until_ready(new_model)
+    model = new_model
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model, lp, nv = em_step(model, batch, var_floor)
+    jax.block_until_ready(model)
+    return (time.perf_counter() - t0) / iters
+
+
+def config1(rng):
+    """Reference-scale: 1 word, 5 states, 1 diag Gaussian, MFCC-13."""
+    import jax.numpy as jnp
+
+    from ..io.dataset import pack_utterances
+
+    S, M, D, B, T = 5, 1, 13, 64, 300
+    model = _rand_model(rng, S, M, D, jnp.float32)
+    batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
+    dt = _time_em(model, batch)
+    return {"config": 1, "metric": "em_audio_s_per_s",
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+
+
+def config2(rng):
+    """10-word digits, 8 states, 4-mix diag, full Baum-Welch."""
+    import jax.numpy as jnp
+
+    from ..io.dataset import pack_utterances
+
+    S, M, D, B, T = 8, 4, 13, 256, 500
+    model = _rand_model(rng, S, M, D, jnp.float32)
+    batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
+    dt = _time_em(model, batch)
+    return {"config": 2, "metric": "em_audio_s_per_s",
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+
+
+def config3(rng):
+    """Continuous strings: composed 10-word loop, token-passing decode RTF."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.continuous import compose_word_loop, composed_emissions, token_passing
+    from ..models import stack_models
+
+    W, S, M, D, T = 10, 8, 4, 13, 1000
+    vocab = stack_models(
+        [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
+    )
+    graph = compose_word_loop(vocab)
+    frames = jnp.asarray(rng.normal(size=(T, D)), jnp.float32)
+
+    def decode(frames):
+        log_b = composed_emissions(vocab, frames)
+        return token_passing(graph, log_b, n_best=1)
+
+    jitted = jax.jit(decode)
+    out = jitted(frames)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        out = jitted(frames)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    rtf = dt / (T * FRAME_SHIFT_S)
+    return {"config": 3, "metric": "decode_rtf", "value": round(rtf, 6),
+            "audio_s_per_s": round(1.0 / rtf, 1)}
+
+
+def config4(rng):
+    """~40 monophones, 32-mix GMMs, embedded re-estimation."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import stack_models
+    from ..train.embedded import embedded_em_step
+
+    P, S, M, D = 40, 3, 32, 13
+    B, T, L = 16, 512, 12
+    units = [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"p{i}") for i in range(P)]
+    models = stack_models(units)
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    out = embedded_em_step(models, transcripts, feats, lengths)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = embedded_em_step(models, transcripts, feats, lengths)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    return {"config": 4, "metric": "em_audio_s_per_s",
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+
+
+def config5(rng):
+    """Tied-state triphones: 2k states x 16 mixtures, mixture-sharded EM."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.dataset import pack_utterances
+    from ..parallel import make_mesh, shard_batch, shard_model
+
+    S, M, D, B, T = 2048, 16, 39, 8, 256
+    # NOTE: states here are a flat tied-state inventory; the HMM topology is
+    # still banded left-right over the flat index (a stand-in for the real
+    # tied-triphone graph; the compute/communication shape is what matters).
+    model = _rand_model(rng, S, M, D, jnp.float32)
+    batch = pack_utterances(
+        _synth_utts(rng, B, T, D, 8), dtype=jnp.float32, pad_batch_to=B
+    )
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        n_model = 2 if n_dev % 2 == 0 else 1
+        mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model)
+        model = shard_model(model, mesh)
+        batch = shard_batch(batch, mesh)
+    dt = _time_em(model, batch, iters=3, var_floor=0.1)
+    return {"config": 5, "metric": "em_audio_s_per_s",
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1), "devices": n_dev}
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    which = [int(a) for a in argv] or [1, 2, 3]
+    rng = np.random.default_rng(0)
+    for c in which:
+        out = CONFIGS[c](rng)
+        print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     if ns.numerics == "parity":
         # bit-parity needs IEEE float64; TPU f64 is emulated and ULP-off
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from ..utils import ensure_usable_backend
+
+        ensure_usable_backend()
     import jax.numpy as jnp
     import numpy as np
 
