@@ -15,6 +15,13 @@ Optional leading flags:
                       diag = hmm_continuous_fs); default full
     --threshold X     convergence threshold (default 1e-3, T1:36)
     --size-t-width N  .hmm size_t width (default 4, matching the fixtures)
+    --numerics parity|fast
+                      parity = float64 reference-exact EM (default; CPU);
+                      fast = log-space batched EM on the default device
+                      (TPU), f32, native batched data loading
+    --checkpoint-dir D
+                      (fast path) checkpoint every EM iteration to D and
+                      resume from the newest complete checkpoint
 
 The reference's warm-start bug (argv[argc] off-by-one, T1:204, which made the
 documented initial_model argument unusable) is fixed, not replicated.
@@ -32,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cov", choices=["full", "diag"], default="full")
     ap.add_argument("--threshold", type=float, default=1.0e-3)
     ap.add_argument("--size-t-width", type=int, default=4)
+    ap.add_argument("--numerics", choices=["parity", "fast"], default="parity")
+    ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     ns = ap.parse_args(argv)
     rest = ns.rest
@@ -45,7 +54,12 @@ def main(argv: list[str] | None = None) -> int:
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # f64 parity path
+    if ns.numerics == "parity":
+        jax.config.update("jax_platforms", "cpu")  # f64 parity path
+    else:
+        from ..utils import ensure_usable_backend
+
+        ensure_usable_backend()
 
     from ..eval.report import (
         c_strftime_cpu,
@@ -89,9 +103,56 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     print("\nCreating HMM using Forward-Backward algorithm (Baum-Welch)")
-    res = train_word_parity(
-        utterances_per_stream, model, threshold=ns.threshold
-    )
+    if ns.numerics == "fast":
+        import jax.numpy as jnp
+
+        from ..io.dataset import pack_utterances
+        from ..train.em import train_fast
+        from ..utils import EventLog
+
+        log = EventLog()
+        batches = tuple(
+            pack_utterances(utts, dtype=jnp.float32)
+            for utts in utterances_per_stream
+        )
+        batch = batches[0] if len(batches) == 1 else batches
+        fast_model = model.astype(jnp.float32)
+        with log.span("train_fast", word=word):
+            if ns.checkpoint_dir:
+                from ..train.checkpoint import train_fast_resumable
+
+                res = train_fast_resumable(
+                    fast_model, batch, ns.checkpoint_dir,
+                    threshold=ns.threshold,
+                )
+            else:
+                res = train_fast(fast_model, batch, threshold=ns.threshold)
+        log.emit(
+            "converged", iterations=res.iterations,
+            mean_log_prob=res.mean_log_prob,
+        )
+        # export in float64 (file contract); recompute linear det from
+        # log_det on the host
+        import numpy as np
+
+        def to_f64(s):
+            det = np.exp(np.asarray(s.log_abs_det(), np.float64))
+            return s.replace(
+                weights=jnp.asarray(np.asarray(s.weights, np.float64)),
+                means=jnp.asarray(np.asarray(s.means, np.float64)),
+                inv_cov=jnp.asarray(np.asarray(s.inv_cov, np.float64)),
+                det=jnp.asarray(det),
+                log_det=None,
+            )
+
+        res.model = res.model.replace(
+            trans=jnp.asarray(np.asarray(res.model.trans, np.float64)),
+            streams=tuple(to_f64(s) for s in res.model.streams),
+        )
+    else:
+        res = train_word_parity(
+            utterances_per_stream, model, threshold=ns.threshold
+        )
     print(f"\nFinal model after {res.iterations} iterations, "
           f"mean probability {res.mean_log_prob:f}")
 
