@@ -50,21 +50,22 @@ def _emission_kernel(x_ref, a_ref, b_ref, out_ref):
 
 
 def _pack_constants(stream: GmmStream, dtype):
-    """(M, 2D, S) GEMM matrices and (M, 1, S) biases."""
-    mu = np.asarray(stream.means, np.float64)  # (S, M, D)
-    k = np.asarray(stream.inv_cov, np.float64)
-    w = np.asarray(stream.weights, np.float64)
-    log_det = np.asarray(stream.log_abs_det())
+    """(M, 2D, S) GEMM matrices and (M, 1, S) biases.  Pure jnp so callers
+    can jit over traced streams."""
+    mu = stream.means.astype(jnp.float64)  # (S, M, D)
+    k = stream.inv_cov.astype(jnp.float64)
+    w = stream.weights.astype(jnp.float64)
+    log_det = stream.log_abs_det().astype(jnp.float64)
     S, M, D = mu.shape
-    a = np.concatenate([mu * k, -0.5 * k], axis=-1)  # (S, M, 2D)
-    a = np.transpose(a, (1, 2, 0))  # (M, 2D, S)
+    a = jnp.concatenate([mu * k, -0.5 * k], axis=-1)  # (S, M, 2D)
+    a = jnp.transpose(a, (1, 2, 0))  # (M, 2D, S)
     bias = (
-        -0.5 * np.sum(mu * mu * k, axis=-1)
-        + np.log(np.maximum(w, 1e-300))
+        -0.5 * jnp.sum(mu * mu * k, axis=-1)
+        + jnp.log(jnp.maximum(w, 1e-300))
         - 0.5 * (D * math.log(2.0 * math.pi) + log_det)
     )  # (S, M)
     bias = bias.T[:, None, :]  # (M, 1, S)
-    return jnp.asarray(a, dtype), jnp.asarray(bias, dtype)
+    return a.astype(dtype), bias.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("t_block", "interpret"))

@@ -37,6 +37,8 @@ def _forward_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
     B, S = carry_ref.shape
     dt = carry_ref.dtype
     neg = jnp.asarray(NEG_INF, dt)
+    # lt_ref is (S, S) shared, or (B, S, S) per-row (vocabulary scoring)
+    lt = lt_ref[:] if lt_ref.ndim == 3 else lt_ref[:][None]
 
     @pl.when(t == 0)
     def _():
@@ -50,7 +52,7 @@ def _forward_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
     @pl.when(t > 0)
     def _():
         carry = carry_ref[:]
-        cand = carry[:, :, None] + lt_ref[:][None]  # (B, from, to)
+        cand = carry[:, :, None] + lt  # (B, from, to)
         m = jnp.maximum(jnp.max(cand, axis=1), neg)  # (B, to)
         new = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None, :]), axis=1))
         new = jnp.maximum(new + lb_ref[0], neg)
@@ -79,13 +81,18 @@ def log_forward_batch_pallas(
         jnp.swapaxes(log_b.astype(jnp.float32), 0, 1), NEG_INF
     )  # (T, B, S)
     lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
+    lt_spec = (
+        pl.BlockSpec((B, S, S), lambda t: (t * 0, t * 0, t * 0), memory_space=pltpu.VMEM)
+        if lt.ndim == 3
+        else pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM)
+    )
     lens = lengths.astype(jnp.float32).reshape(1, B)
     return pl.pallas_call(
         _forward_kernel,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, S), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            lt_spec,
             pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
