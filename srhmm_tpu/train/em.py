@@ -151,6 +151,84 @@ def e_step(model: GmmHmm, batch) -> SuffStats:
     return jax.tree.map(lambda a: a.sum(0), per_utt)
 
 
+def update_stream(
+    stream: GmmStream, st: StreamStats, den_mix: jax.Array, var_floor: float = 0.0
+) -> GmmStream:
+    """Emission-parameter update for one stream from its sufficient stats
+    (the GMM half of the M-step; shared by isolated, embedded, and
+    tied-state training).  Leading axes of the arrays are arbitrary — (S,)
+    states, (P, S), or (N,) senones."""
+    dtype = stream.means.dtype
+    touched = (den_mix > 0)[..., None]
+    w_safe = jnp.where(st.w > 0, st.w, 1.0)
+
+    weights = jnp.where(
+        touched, st.w / jnp.where(den_mix > 0, den_mix, 1.0)[..., None],
+        stream.weights,
+    )
+    weights = jnp.maximum(weights, FINITE_PROBAB)
+    weights = weights / weights.sum(-1, keepdims=True)
+
+    mu0 = stream.means
+    means = jnp.where(touched[..., None], st.x / w_safe[..., None], mu0)
+
+    old_log_det = stream.log_abs_det()
+    if stream.cov_type == FULL:
+        a = st.x
+        cov = (
+            st.xx
+            - mu0[..., :, None] * a[..., None, :]
+            - a[..., :, None] * mu0[..., None, :]
+            + st.w[..., None, None] * mu0[..., :, None] * mu0[..., None, :]
+        ) / w_safe[..., None, None]
+        D = cov.shape[-1]
+        eye = jnp.eye(D, dtype=dtype)
+        diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+        floored = jnp.maximum(diag, max(FINITE_PROBAB, var_floor))
+        cov = cov + (floored - diag)[..., None] * eye
+        inv_new, log_det_new = _batched_inv_logdet(cov)
+        inv = jnp.where(touched[..., None, None], inv_new, stream.inv_cov)
+        log_det = jnp.where(touched, log_det_new, old_log_det)
+    else:
+        cov = (
+            st.xx - 2.0 * mu0 * st.x + st.w[..., None] * mu0 * mu0
+        ) / w_safe[..., None]
+        cov = jnp.maximum(cov, max(FINITE_PROBAB, var_floor))
+        inv_new = 1.0 / cov
+        log_det_new = jnp.sum(jnp.log(cov), axis=-1)
+        inv = jnp.where(touched[..., None], inv_new, stream.inv_cov)
+        log_det = jnp.where(touched, log_det_new, old_log_det)
+
+    weights, means, inv, log_det = _repair_degenerate(
+        weights, means, inv, log_det, stream.cov_type
+    )
+    if stream.cov_type == FULL:
+        # Last-resort PSD fallback (beyond the reference): if a mixture's
+        # covariance is still not invertible after donor repair (e.g. the
+        # whole state collapsed), fall back to its diagonal covariance —
+        # always PSD after flooring.  HTK-style robustness for
+        # over-parameterized models; unreachable in the fixture regime.
+        still_bad = ~jnp.isfinite(log_det) | (log_det < _LOG_ZERO_DET)
+        diag_inv = 1.0 / floored
+        eye_d = jnp.eye(floored.shape[-1], dtype=dtype)
+        inv = jnp.where(
+            still_bad[..., None, None], diag_inv[..., None] * eye_d, inv
+        )
+        log_det = jnp.where(
+            still_bad, jnp.sum(jnp.log(floored), axis=-1), log_det
+        )
+    return GmmStream(
+        weights=weights,
+        means=means,
+        inv_cov=inv,
+        # linear det kept for the .hmm export contract; may overflow in f32
+        # (log_det is the authoritative fast-path value)
+        det=jnp.exp(log_det),
+        cov_type=stream.cov_type,
+        log_det=log_det,
+    )
+
+
 def m_step(
     model: GmmHmm, stats: SuffStats, delta: int = 1, var_floor: float = 0.0
 ) -> GmmHmm:
@@ -181,76 +259,10 @@ def m_step(
         model.trans,
     )
 
-    new_streams = []
-    for stream, st in zip(model.streams, stats.streams):
-        den_mix = stats.den_mix
-        touched = (den_mix > 0)[:, None]
-        w_safe = jnp.where(st.w > 0, st.w, 1.0)
-
-        weights = jnp.where(touched, st.w / jnp.where(den_mix > 0, den_mix, 1.0)[:, None], stream.weights)
-        weights = jnp.maximum(weights, FINITE_PROBAB)
-        weights = weights / weights.sum(-1, keepdims=True)
-
-        mu0 = stream.means
-        means = jnp.where(touched[..., None], st.x / w_safe[..., None], mu0)
-
-        old_log_det = stream.log_abs_det()
-        if stream.cov_type == FULL:
-            a = st.x
-            cov = (
-                st.xx
-                - mu0[..., :, None] * a[..., None, :]
-                - a[..., :, None] * mu0[..., None, :]
-                + st.w[..., None, None] * mu0[..., :, None] * mu0[..., None, :]
-            ) / w_safe[..., None, None]
-            D = cov.shape[-1]
-            eye = jnp.eye(D, dtype=dtype)
-            diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-            floored = jnp.maximum(diag, max(FINITE_PROBAB, var_floor))
-            cov = cov + (floored - diag)[..., None] * eye
-            inv_new, log_det_new = _batched_inv_logdet(cov)
-            inv = jnp.where(touched[..., None, None], inv_new, stream.inv_cov)
-            log_det = jnp.where(touched, log_det_new, old_log_det)
-        else:
-            cov = (
-                st.xx - 2.0 * mu0 * st.x + st.w[..., None] * mu0 * mu0
-            ) / w_safe[..., None]
-            cov = jnp.maximum(cov, max(FINITE_PROBAB, var_floor))
-            inv_new = 1.0 / cov
-            log_det_new = jnp.sum(jnp.log(cov), axis=-1)
-            inv = jnp.where(touched[..., None], inv_new, stream.inv_cov)
-            log_det = jnp.where(touched, log_det_new, old_log_det)
-
-        weights, means, inv, log_det = _repair_degenerate(
-            weights, means, inv, log_det, stream.cov_type
-        )
-        if stream.cov_type == FULL:
-            # Last-resort PSD fallback (beyond the reference): if a mixture's
-            # covariance is still not invertible after donor repair (e.g. the
-            # whole state collapsed), fall back to its diagonal covariance —
-            # always PSD after flooring.  HTK-style robustness for
-            # over-parameterized models; unreachable in the fixture regime.
-            still_bad = ~jnp.isfinite(log_det) | (log_det < _LOG_ZERO_DET)
-            diag_inv = 1.0 / floored  # (S, M, D)
-            eye_d = jnp.eye(floored.shape[-1], dtype=dtype)
-            inv = jnp.where(
-                still_bad[..., None, None], diag_inv[..., None] * eye_d, inv
-            )
-            log_det = jnp.where(
-                still_bad, jnp.sum(jnp.log(floored), axis=-1), log_det
-            )
-        new_streams.append(
-            GmmStream(
-                weights=weights,
-                means=means,
-                inv_cov=inv,
-                # linear det kept for the .hmm export contract; may overflow
-                # in f32 (log_det is the authoritative fast-path value)
-                det=jnp.exp(log_det),
-                cov_type=stream.cov_type,
-                log_det=log_det,
-            )
-        )
+    new_streams = [
+        update_stream(stream, st, stats.den_mix, var_floor)
+        for stream, st in zip(model.streams, stats.streams)
+    ]
 
     return model.replace(trans=trans_new, streams=tuple(new_streams))
 

@@ -1,0 +1,234 @@
+"""Tied-state (senone) embedded re-estimation.
+
+The tied variant of train/embedded.py: emissions and posteriors are computed
+ONCE over the senone inventory — a single (T, N·M) GEMM no matter how many
+transcript positions share each senone — and the E-step statistics
+scatter-add into senone space (tying IS the scatter).  Per-unit transition
+statistics stay unit-level.
+
+This is BASELINE.json config 5's compute/communication shape: with the
+senone axis sharded over a `model` mesh axis and utterances over `data`,
+the scatter-reductions become the mixture-sharded multi-host EM all-reduces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gmm_hmm import FULL
+from ..models.tying import TiedHmmSet
+from ..ops.emission import log_mixture_posteriors
+from ..ops.forward_backward import log_backward_full, log_forward_full
+from .em import StreamStats, _band_mask, update_stream
+from .embedded import _composed_log_trans
+
+
+def tied_utterance_stats(
+    tied: TiedHmmSet,
+    transcript: jax.Array,
+    feats: jax.Array,
+    length: jax.Array,
+):
+    """E-step statistics for one utterance against a tied set.
+
+    Returns (senone StreamStats (N, ...), den_mix_senone (N,),
+    num_trans (P, S, S), den_trans (P, S), log_prob, valid).
+    """
+    P = tied.num_units
+    S = tied.num_states
+    N = tied.num_senones
+    L = transcript.shape[0]
+    T = feats.shape[0]
+    dtype = feats.dtype
+
+    # senone emissions: one merged computation over the whole inventory
+    sen_lb, sen_post = log_mixture_posteriors(feats, tied.senones)  # (T,N),(T,N,M)
+
+    sen_ids = tied.state_map[transcript]  # (L, S)
+    lb_pos = sen_lb[:, sen_ids]  # (T, L, S)
+    log_b = lb_pos.reshape(T, L * S)
+
+    unit_logt = tied.log_trans().astype(dtype)
+    pos_logt = unit_logt[transcript]  # (L, S, S)
+    log_trans = _composed_log_trans(pos_logt)
+
+    la = log_forward_full(log_b, log_trans, length)
+    lbw = log_backward_full(log_b, log_trans, length)
+    log_z = la[-1, -1]
+    valid = jnp.isfinite(log_z) & (length > 0)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    t_idx = jnp.arange(T)
+    frame_mask = (t_idx < length).astype(dtype)
+    la_p = la.reshape(T, L, S)
+    lb_p = lbw.reshape(T, L, S)
+    gamma = jnp.exp(jnp.minimum(la_p + lb_p - safe_z, 0.0)) * frame_mask[:, None, None]
+
+    xi_mask = (t_idx[:-1] < length - 1).astype(dtype)
+    fwd_in = (lb_pos + lb_p)[1:]
+    log_xi = la_p[:-1, :, :, None] + pos_logt[None] + fwd_in[:, :, None, :] - safe_z
+    xi = jnp.exp(jnp.minimum(log_xi, 0.0)) * xi_mask[:, None, None, None]
+    xi_pos = xi.sum(0)
+    if L > 1:
+        arc = pos_logt[:-1, S - 1, S - 1]
+        cross = la_p[:-1, :-1, S - 1] + arc[None] + fwd_in[:, 1:, 0] - safe_z
+        cross_flow = jnp.exp(jnp.minimum(cross, 0.0)) * xi_mask[:, None]
+        xi_pos = xi_pos.at[:-1, S - 1, S - 1].add(cross_flow.sum(0))
+
+    num_trans = jnp.zeros((P, S, S), dtype).at[transcript].add(xi_pos)
+    den_trans = jnp.zeros((P, S), dtype).at[transcript].add(
+        (gamma[:-1] * xi_mask[:, None, None]).sum(0)
+    )
+
+    # senone-space GMM statistics: scatter positional gamma into the inventory
+    post_pos = sen_post[:, sen_ids]  # (T, L, S, M)
+    gm = gamma[..., None] * post_pos
+    M = gm.shape[-1]
+    D = feats.shape[-1]
+    flat_ids = sen_ids.reshape(L * S)
+    seg = lambda vals, shape: jnp.zeros(shape, dtype).at[flat_ids].add(vals)
+
+    gm_ls = gm.reshape(T, L * S, M)
+    w = seg(gm_ls.sum(0), (N, M))
+    den_mix = seg(gamma.reshape(T, L * S).sum(0), (N,))
+    x = seg(
+        jnp.einsum("tlm,td->lmd", gm_ls, feats, preferred_element_type=dtype),
+        (N, M, D),
+    )
+    if tied.senones.cov_type == FULL:
+        xx = seg(
+            jnp.einsum(
+                "tlm,td,te->lmde", gm_ls, feats, feats,
+                preferred_element_type=dtype,
+            ),
+            (N, M, D, D),
+        )
+    else:
+        xx = seg(
+            jnp.einsum(
+                "tlm,td->lmd", gm_ls, feats * feats,
+                preferred_element_type=dtype,
+            ),
+            (N, M, D),
+        )
+
+    zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
+    return (
+        StreamStats(w=zero(w), x=zero(x), xx=zero(xx)),
+        zero(den_mix),
+        zero(num_trans),
+        zero(den_trans),
+        jnp.where(valid, log_z, 0.0),
+        valid.astype(dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("var_floor", "delta"))
+def tied_em_step(
+    tied: TiedHmmSet,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    var_floor: float = 0.0,
+    delta: int = 1,
+):
+    """One tied-state embedded EM iteration over an equal-shape bucket.
+    Returns (new TiedHmmSet, total log prob, num valid)."""
+    per = jax.vmap(lambda tr, f, l: tied_utterance_stats(tied, tr, f, l))(
+        transcripts, feats, lengths
+    )
+    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = jax.tree.map(
+        lambda a: a.sum(0), per
+    )
+
+    senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
+
+    S = tied.num_states
+    band = _band_mask(S, delta, tied.trans.dtype)
+    trans_new = jnp.where(
+        (den_trans > 0)[..., None],
+        band[None] * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
+        tied.trans,
+    )
+    return (
+        tied.replace(senones=senones, trans=trans_new),
+        log_prob,
+        valid,
+    )
+
+
+def train_tied(
+    tied: TiedHmmSet,
+    utterances: list[np.ndarray],
+    transcripts: list[list[int]],
+    threshold: float = 1e-3,
+    max_iterations: int = 50,
+    var_floor: float = 0.0,
+    pad_multiple: int = 32,
+):
+    """Tied-state embedded EM driver (bucketed by shape, reference
+    convergence semantics)."""
+    from ..io.dataset import round_up
+    from .em_parity import TrainResult
+
+    dtype = tied.trans.dtype
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (u, tr) in enumerate(zip(utterances, transcripts)):
+        buckets.setdefault((round_up(len(u), pad_multiple), len(tr)), []).append(i)
+    packed = []
+    D = utterances[0].shape[1]
+    for (T, L), idxs in buckets.items():
+        f = np.zeros((len(idxs), T, D))
+        ln = np.zeros(len(idxs), np.int32)
+        trs = np.zeros((len(idxs), L), np.int32)
+        for row, i in enumerate(idxs):
+            f[row, : len(utterances[i])] = utterances[i]
+            ln[row] = len(utterances[i])
+            trs[row] = transcripts[i]
+        packed.append((jnp.asarray(trs), jnp.asarray(f, dtype), jnp.asarray(ln)))
+
+    old = 1.0
+    history = []
+    iteration = 0
+    n_valid = 0
+    while iteration < max_iterations:
+        iteration += 1
+        total_lp = 0.0
+        n_valid = 0
+        new_tied = None
+        # accumulate stats across buckets by chaining em steps is incorrect;
+        # instead accumulate raw stats
+        agg = None
+        for trs, f, ln in packed:
+            per = jax.vmap(
+                lambda tr, ff, l: tied_utterance_stats(tied, tr, ff, l)
+            )(trs, f, ln)
+            stats = jax.tree.map(lambda a: a.sum(0), per)
+            total_lp += float(stats[4])
+            n_valid += int(stats[5])
+            agg = stats if agg is None else jax.tree.map(jnp.add, agg, stats)
+        history.append(total_lp)
+        if old != 0.0 and abs((old - total_lp) / old) <= threshold:
+            break
+        old = total_lp
+        sen_stats, den_mix, num_trans, den_trans = agg[0], agg[1], agg[2], agg[3]
+        senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
+        S = tied.num_states
+        band = _band_mask(S, 1, tied.trans.dtype)
+        trans_new = jnp.where(
+            (den_trans > 0)[..., None],
+            band[None] * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
+            tied.trans,
+        )
+        tied = tied.replace(senones=senones, trans=trans_new)
+    return TrainResult(
+        model=tied,
+        iterations=iteration,
+        mean_log_prob=history[-1] / max(n_valid, 1),
+        exemplar_count=n_valid,
+        log_prob_history=history,
+    )
