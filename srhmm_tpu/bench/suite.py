@@ -163,30 +163,46 @@ def config4(rng):
 
 
 def config5(rng):
-    """Tied-state triphones: 2k states x 16 mixtures, mixture-sharded EM."""
+    """Tied-state triphones: 2k senones x 16 mixtures, tied embedded EM.
+
+    500 context-dependent units (3 states each) share a 2000-senone
+    inventory; senone-space statistics are the mixture-sharded all-reduce
+    payload on a multi-chip mesh."""
     import jax
     import jax.numpy as jnp
+    import time as _time
 
-    from ..io.dataset import pack_utterances
-    from ..parallel import make_mesh, shard_batch, shard_model
+    from ..models import stack_models
+    from ..models.tying import tie_from_models
+    from ..train.tied import tied_em_step
 
-    S, M, D, B, T = 2048, 16, 39, 8, 256
-    # NOTE: states here are a flat tied-state inventory; the HMM topology is
-    # still banded left-right over the flat index (a stand-in for the real
-    # tied-triphone graph; the compute/communication shape is what matters).
-    model = _rand_model(rng, S, M, D, jnp.float32)
-    batch = pack_utterances(
-        _synth_utts(rng, B, T, D, 8), dtype=jnp.float32, pad_batch_to=B
-    )
-    n_dev = len(jax.devices())
-    if n_dev > 1:
-        n_model = 2 if n_dev % 2 == 0 else 1
-        mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model)
-        model = shard_model(model, mesh)
-        batch = shard_batch(batch, mesh)
-    dt = _time_em(model, batch, iters=3, var_floor=0.1)
+    P, S, M, D = 700, 3, 16, 39
+    N = 2000
+    B, T, L = 16, 304, 10
+    units = [
+        _rand_model(np.random.default_rng(1000 + i), S, M, D, jnp.float32)
+        .replace(word=f"tri{i}")
+        for i in range(P)
+    ]
+    sm = rng.integers(0, N, size=(P, S)).astype(np.int32)
+    cover = -(-N // S)  # enough units to touch every senone id at least once
+    sm[:cover, :] = np.minimum(np.arange(cover * S).reshape(-1, S), N - 1)
+    tied = tie_from_models(stack_models(units), sm).astype(jnp.float32)
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    out = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    n = 3
+    for _ in range(n):
+        out = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
+    jax.block_until_ready(out)
+    dt = (_time.perf_counter() - t0) / n
     return {"config": 5, "metric": "em_audio_s_per_s",
-            "value": round(B * T * FRAME_SHIFT_S / dt, 1), "devices": n_dev}
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "senones": N, "units": P, "devices": len(jax.devices())}
 
 
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}

@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -9,6 +10,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "distributed",
     "DATA_AXIS",
     "MODEL_AXIS",
     "em_step_sharded",

@@ -1,10 +1,11 @@
 """Tied-state (senone) embedded re-estimation.
 
-The tied variant of train/embedded.py: emissions and posteriors are computed
-ONCE over the senone inventory — a single (T, N·M) GEMM no matter how many
-transcript positions share each senone — and the E-step statistics
-scatter-add into senone space (tying IS the scatter).  Per-unit transition
-statistics stay unit-level.
+The tied variant of train/embedded.py: each utterance gathers the senone
+parameters for its L*S transcript positions (an utterance touches a tiny
+slice of the inventory, so gather-then-compute beats materializing (T, N, M)
+posteriors for all N senones), and the E-step statistics scatter-add into
+senone space — tying IS the scatter.  Per-unit transition statistics stay
+unit-level.
 
 This is BASELINE.json config 5's compute/communication shape: with the
 senone axis sharded over a `model` mesh axis and utterances over `data`,
@@ -45,12 +46,23 @@ def tied_utterance_stats(
     T = feats.shape[0]
     dtype = feats.dtype
 
-    # senone emissions: one merged computation over the whole inventory
-    sen_lb, sen_post = log_mixture_posteriors(feats, tied.senones)  # (T,N),(T,N,M)
-
+    # gather the per-position senone parameters (L*S of them) and compute
+    # emissions on the gathered bank: computing/materializing posteriors for
+    # the FULL inventory (T x N x M) would blow HBM at config-5 scale
+    # (N=2000, M=16) for no benefit — an utterance touches <= L*S senones.
     sen_ids = tied.state_map[transcript]  # (L, S)
-    lb_pos = sen_lb[:, sen_ids]  # (T, L, S)
-    log_b = lb_pos.reshape(T, L * S)
+    flat_ids = sen_ids.reshape(L * S)
+    sen = tied.senones
+    gathered = sen.replace(
+        weights=sen.weights[flat_ids],
+        means=sen.means[flat_ids],
+        inv_cov=sen.inv_cov[flat_ids],
+        det=sen.det[flat_ids],
+        log_det=None if sen.log_det is None else sen.log_det[flat_ids],
+    )
+    pos_lb, pos_post = log_mixture_posteriors(feats, gathered)  # (T,LS),(T,LS,M)
+    lb_pos = pos_lb.reshape(T, L, S)
+    log_b = pos_lb
 
     unit_logt = tied.log_trans().astype(dtype)
     pos_logt = unit_logt[transcript]  # (L, S, S)
@@ -85,14 +97,11 @@ def tied_utterance_stats(
     )
 
     # senone-space GMM statistics: scatter positional gamma into the inventory
-    post_pos = sen_post[:, sen_ids]  # (T, L, S, M)
-    gm = gamma[..., None] * post_pos
-    M = gm.shape[-1]
+    gm_ls = gamma.reshape(T, L * S)[..., None] * pos_post  # (T, LS, M)
+    M = gm_ls.shape[-1]
     D = feats.shape[-1]
-    flat_ids = sen_ids.reshape(L * S)
     seg = lambda vals, shape: jnp.zeros(shape, dtype).at[flat_ids].add(vals)
 
-    gm_ls = gm.reshape(T, L * S, M)
     w = seg(gm_ls.sum(0), (N, M))
     den_mix = seg(gamma.reshape(T, L * S).sum(0), (N,))
     x = seg(
