@@ -64,12 +64,12 @@ def _time_em(model, batch, iters=10, var_floor=0.0):
     from ..train.em import em_step
 
     new_model, lp, nv = em_step(model, batch, var_floor)
-    jax.block_until_ready(new_model)
+    float(lp)  # scalar fetch: block_until_ready does not sync on this backend
     model = new_model
     t0 = time.perf_counter()
     for _ in range(iters):
         model, lp, nv = em_step(model, batch, var_floor)
-    jax.block_until_ready(model)
+    float(lp)
     return (time.perf_counter() - t0) / iters
 
 
@@ -122,12 +122,12 @@ def config3(rng):
 
     jitted = jax.jit(decode)
     out = jitted(frames)
-    jax.block_until_ready(out)
+    float(np.asarray(out[0])[0, 0])
     t0 = time.perf_counter()
     n = 20
     for _ in range(n):
         out = jitted(frames)
-    jax.block_until_ready(out)
+    float(np.asarray(out[0])[0, 0])  # forced fetch: see _time_em note
     dt = (time.perf_counter() - t0) / n
     rtf = dt / (T * FRAME_SHIFT_S)
     return {"config": 3, "metric": "decode_rtf", "value": round(rtf, 6),
@@ -192,13 +192,14 @@ def config5(rng):
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
 
-    out = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
-    jax.block_until_ready(out)
+    new_tied, lp, nv = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
+    float(lp)
     t0 = _time.perf_counter()
     n = 3
+    cur = new_tied
     for _ in range(n):
-        out = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
-    jax.block_until_ready(out)
+        cur, lp, nv = tied_em_step(cur, transcripts, feats, lengths, var_floor=0.1)
+    float(lp)
     dt = (_time.perf_counter() - t0) / n
     return {"config": 5, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1),

@@ -55,7 +55,7 @@ def log_forward(
 
     T = log_b.shape[0]
     ts = jnp.arange(1, T)
-    final, _ = jax.lax.scan(step, init, (log_b[1:], ts))
+    final, _ = jax.lax.scan(step, init, (log_b[1:], ts), unroll=8)
     return final
 
 
@@ -75,7 +75,7 @@ def log_forward_full(
         return new, new
 
     ts = jnp.arange(1, log_b.shape[0])
-    _, rest = jax.lax.scan(step, init, (log_b[1:], ts))
+    _, rest = jax.lax.scan(step, init, (log_b[1:], ts), unroll=8)
     return jnp.concatenate([init[None], rest], axis=0)
 
 
@@ -108,7 +108,7 @@ def log_backward_full(
 
     ts = jnp.arange(T - 1)
     _, betas = jax.lax.scan(
-        step, beta_T, (log_b[1:], ts), reverse=True
+        step, beta_T, (log_b[1:], ts), reverse=True, unroll=8
     )
     return jnp.concatenate([betas, beta_T[None]], axis=0)
 

@@ -361,3 +361,148 @@ def train_fast(
         exemplar_count=n_valid,
         log_prob_history=history,
     )
+
+
+# ---------------------------------------------------------------------------
+# lane-major batched E-step
+# ---------------------------------------------------------------------------
+
+
+def _log_forward_lattice_tb(log_b_tsb, log_trans, lengths):
+    """Forward lattice with (S, B) carries — batch on the 128-lane axis.
+
+    The vmapped per-utterance scan carries (B, S) arrays whose minor axis is
+    S (8..64): only S of 128 VPU lanes do work.  Carrying (S, B) puts the
+    batch in the lanes (hardware-measured ~4x on the EM step at B=2048, S=8).
+
+    log_b_tsb: (T, S, B); returns (T, S, B) log-alpha (rows at t >= length
+    repeat the last valid row).
+    """
+    T, S, B = log_b_tsb.shape
+    dtype = log_b_tsb.dtype
+    start = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == 0, 0.0, -jnp.inf
+    ).astype(dtype)
+    init = log_b_tsb[0] + start
+
+    def step(carry, inputs):
+        lb, t = inputs
+        cand = carry[:, None, :] + log_trans[:, :, None]  # (from, to, B)
+        new = jax.nn.logsumexp(cand, axis=0) + lb
+        new = jnp.where(t < lengths[None, :], new, carry)
+        return new, new
+
+    ts = jnp.arange(1, T)
+    _, rest = jax.lax.scan(step, init, (log_b_tsb[1:], ts), unroll=4)
+    return jnp.concatenate([init[None], rest], axis=0)
+
+
+def _log_backward_lattice_tb(log_b_tsb, log_trans, lengths):
+    """Backward lattice with (S, B) carries, final-state initialization."""
+    T, S, B = log_b_tsb.shape
+    dtype = log_b_tsb.dtype
+    beta_T = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == S - 1, 0.0, -jnp.inf
+    ).astype(dtype)
+    beta_T = jnp.broadcast_to(beta_T, (S, B))
+    last = lengths - 1
+
+    def step(carry, inputs):
+        lb_next, t = inputs
+        cand = log_trans[:, :, None] + (lb_next + carry)[None, :, :]
+        new = jax.nn.logsumexp(cand, axis=1)
+        new = jnp.where(t < last[None, :], new, beta_T)
+        return new, new
+
+    ts = jnp.arange(T - 1)
+    _, betas = jax.lax.scan(
+        step, beta_T, (log_b_tsb[1:], ts), reverse=True, unroll=4
+    )
+    return jnp.concatenate([betas, beta_T[None]], axis=0)
+
+
+def e_step_lane_major(model: GmmHmm, batch: UtteranceBatch) -> SuffStats:
+    """EXPERIMENTAL: batched E-step with lane-major (S, B) scan carries.
+
+    Rationale: the vmapped path's scans carry (B, S) arrays whose minor axis
+    is S (8..64) — only S of the VPU's 128 lanes do work.  This variant puts
+    the batch on the lane axis.  Numerically equivalent to e_step
+    (test-locked); HOWEVER the (T, S, B) lattice scans currently hang XLA
+    compilation on the axon remote toolchain (>9 min for T=500, B=2048), so
+    em_step keeps the vmapped path as the default.  Revisit with a newer
+    toolchain; see ROADMAP.md."""
+    feats = batch.features  # (B, T, D)
+    lengths = batch.lengths
+    B, T, D = feats.shape
+    S = model.num_states
+    dtype = feats.dtype
+    log_trans = model.log_trans().astype(dtype)
+
+    flat = feats.reshape(B * T, D)
+    log_b = None
+    posts = []
+    for stream in model.streams:
+        lb_s, post_s = log_mixture_posteriors(flat, stream)  # (B*T,S),(B*T,S,M)
+        posts.append(post_s.reshape(B, T, S, -1))
+        lb_s = lb_s.reshape(B, T, S)
+        log_b = lb_s if log_b is None else log_b + lb_s
+
+    lb_tsb = jnp.transpose(log_b, (1, 2, 0))  # (T, S, B)
+    la = _log_forward_lattice_tb(lb_tsb, log_trans, lengths)
+    lbw = _log_backward_lattice_tb(lb_tsb, log_trans, lengths)
+
+    log_z = la[-1, S - 1]  # (B,)
+    valid = jnp.isfinite(log_z) & (lengths > 0)
+    safe_z = jnp.where(valid, log_z, 0.0)
+    vmask = valid.astype(dtype)  # (B,)
+
+    t_idx = jnp.arange(T)
+    frame_mask = (t_idx[:, None] < lengths[None, :]).astype(dtype)  # (T, B)
+    gamma_tsb = (
+        jnp.exp(jnp.minimum(la + lbw - safe_z[None, None, :], 0.0))
+        * frame_mask[:, None, :]
+        * vmask[None, None, :]
+    )  # (T, S, B)
+
+    xi_mask = (t_idx[:-1, None] < (lengths - 1)[None, :]).astype(dtype)  # (T-1,B)
+    fwd_in = lb_tsb[1:] + lbw[1:]  # (T-1, S, B)
+    log_xi = (
+        la[:-1, :, None, :]
+        + log_trans[None, :, :, None]
+        + fwd_in[:, None, :, :]
+        - safe_z[None, None, None, :]
+    )  # (T-1, from, to, B)
+    xi = (
+        jnp.exp(jnp.minimum(log_xi, 0.0))
+        * (xi_mask * vmask[None, :])[:, None, None, :]
+    )
+    num_trans = xi.sum((0, 3))  # (S, S)
+    den_trans = (gamma_tsb[:-1] * xi_mask[:, None, :]).sum((0, 2))  # (S,)
+    den_mix = gamma_tsb.sum((0, 2))  # (S,)
+
+    gamma_bts = jnp.transpose(gamma_tsb, (2, 0, 1))  # (B, T, S)
+    stream_stats = []
+    for stream, post in zip(model.streams, posts):
+        gm = gamma_bts[..., None] * post  # (B, T, S, M)
+        w = gm.sum((0, 1))
+        x = jnp.einsum("btsm,btd->smd", gm, feats, preferred_element_type=dtype)
+        if stream.cov_type == FULL:
+            xx = jnp.einsum(
+                "btsm,btd,bte->smde", gm, feats, feats,
+                preferred_element_type=dtype,
+            )
+        else:
+            xx = jnp.einsum(
+                "btsm,btd->smd", gm, feats * feats,
+                preferred_element_type=dtype,
+            )
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+
+    return SuffStats(
+        num_trans=num_trans,
+        den_trans=den_trans,
+        den_mix=den_mix,
+        streams=tuple(stream_stats),
+        log_prob=jnp.sum(jnp.where(valid, log_z, 0.0)),
+        num_valid=vmask.sum(),
+    )

@@ -196,3 +196,20 @@ def test_multi_stream_em():
     # second EM iteration improves the likelihood
     _, lp2, _ = em_step(new_model, (b0, b1))
     assert float(lp2) >= float(lp)
+
+
+def test_lane_major_e_step_matches_vmapped(fixture_frames):
+    """The lane-major batched E-step must produce the same statistics as the
+    vmapped per-utterance path."""
+    from srhmm_tpu.train.em import e_step, e_step_lane_major
+
+    rng = np.random.default_rng(11)
+    model = _toy_model(S=5, M=2, D=6, seed=3)
+    utts = [rng.normal(size=(40 + 13 * i, 6)) for i in range(5)]
+    batch = pack_utterances(utts, pad_multiple=32, pad_batch_to=8, dtype=jnp.float64)
+    a = e_step(model, batch)
+    b = e_step_lane_major(model, batch)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-9, atol=1e-9
+        )
