@@ -1,0 +1,169 @@
+"""Full forward/backward lattice kernels, lane-major (Pallas, TPU).
+
+EM needs the whole (T, S, B) log-alpha / log-beta lattices, and the scans'
+VPU utilization depends on the minor axis: (B, S) layouts put S (8..64) on
+the 128-lane axis and idle most of the machine.  These kernels keep the
+carry as (S, B) in VMEM — batch on the lanes — with the grid as the time
+loop (the layout/structure that has proven to compile and run on this
+toolchain, unlike the equivalent XLA scan, which hangs compilation).
+
+Outputs are (T, S, B) lattices; gamma/xi/moment statistics are GEMM-shaped
+contractions left to XLA downstream.
+
+STATUS (hardware-measured, v5e via the axon remote toolchain): compiles in
+~5 min, results bit-identical to the XLA scan — but ~30x SLOWER at
+(B=2048, T=512, S=8): the per-grid-step (1, S, B) block DMA + small VPU body
+is latency-bound and the pipeline does not hide it.  Kept as experimental
+groundwork (the lane-major XLA scan variant hangs compilation outright);
+production EM uses the vmapped scan path.  Revisit with time-blocked grids
+(k frames per step) on a newer toolchain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _fwd_lattice_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
+    t = pl.program_id(0)
+    S, B = carry_ref.shape
+    dt = carry_ref.dtype
+    neg = jnp.asarray(NEG_INF, dt)
+
+    @pl.when(t == 0)
+    def _():
+        start = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == 0,
+            jnp.asarray(0.0, dt),
+            neg,
+        )
+        carry_ref[:] = lb_ref[0] + start
+        out_ref[0] = carry_ref[:]
+
+    @pl.when(t > 0)
+    def _():
+        carry = carry_ref[:]
+        # cand[i, j, b] = carry[i, b] + lt[i, j]
+        cand = carry[:, None, :] + lt_ref[:][:, :, None]
+        m = jnp.maximum(jnp.max(cand, axis=0), neg)  # (S_to, B)
+        new = m + jnp.log(jnp.sum(jnp.exp(cand - m[None]), axis=0))
+        new = jnp.maximum(new + lb_ref[0], neg)
+        keep = jnp.broadcast_to(len_ref[0][None, :], (S, B)) > t.astype(dt)
+        carry_ref[:] = jnp.where(keep, new, carry)
+        out_ref[0] = carry_ref[:]
+
+
+def _bwd_lattice_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
+    # grid runs t = 0..T-1 mapping to lattice row T-1-t (reverse time)
+    tr = pl.program_id(0)
+    S, B = carry_ref.shape
+    dt = carry_ref.dtype
+    neg = jnp.asarray(NEG_INF, dt)
+    T = pl.num_programs(0)
+    t = T - 1 - tr  # lattice row being produced
+
+    beta_T = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1,
+        jnp.asarray(0.0, dt),
+        neg,
+    )
+
+    @pl.when(tr == 0)
+    def _():
+        carry_ref[:] = beta_T
+        out_ref[0] = beta_T
+
+    @pl.when(tr > 0)
+    def _():
+        carry = carry_ref[:]
+        # lb_ref here is log_b[t+1] (index map supplies row t+1)
+        inner = lb_ref[0] + carry  # (S_next, B)
+        cand = lt_ref[:][:, :, None] + inner[None, :, :]  # (from, to, B)
+        m = jnp.maximum(jnp.max(cand, axis=1), neg)  # (S_from, B)
+        new = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None, :]), axis=1))
+        new = jnp.maximum(new, neg)
+        # rows at t >= length-1 hold the final-state init (recursion starts
+        # at each utterance's last valid frame)
+        active = jnp.broadcast_to(len_ref[0][None, :], (S, B)) > (
+            t.astype(dt) + 1.0
+        )
+        carry_ref[:] = jnp.where(active, new, beta_T)
+        out_ref[0] = carry_ref[:]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def forward_lattice_pallas(
+    log_b_tsb: jax.Array,
+    log_trans: jax.Array,
+    lengths: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(T, S, B) emissions -> (T, S, B) log-alpha lattice (rows at
+    t >= length repeat the row at length-1)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, S, B = log_b_tsb.shape
+    lb = jnp.maximum(log_b_tsb.astype(jnp.float32), NEG_INF)
+    lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    return pl.pallas_call(
+        _fwd_lattice_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S, B), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, B), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(lb, lt, lens)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def backward_lattice_pallas(
+    log_b_tsb: jax.Array,
+    log_trans: jax.Array,
+    lengths: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(T, S, B) emissions -> (T, S, B) log-beta lattice, final-state
+    initialization at each utterance's last valid frame."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, S, B = log_b_tsb.shape
+    lb = jnp.maximum(log_b_tsb.astype(jnp.float32), NEG_INF)
+    lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+
+    def lb_index(tr):
+        # producing lattice row t = T-1-tr needs log_b[t+1]; clamp at T-1
+        t_next = jnp.minimum(T - 1 - tr + 1, T - 1)
+        return (t_next, tr * 0, tr * 0)
+
+    def out_index(tr):
+        return (T - 1 - tr, tr * 0, tr * 0)
+
+    return pl.pallas_call(
+        _bwd_lattice_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S, B), lb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, B), out_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(lb, lt, lens)

@@ -121,3 +121,42 @@ def test_fused_vocab_scoring_matches_reference():
         finite = np.isfinite(want)
         np.testing.assert_allclose(got[finite], want[finite], rtol=2e-4, atol=2e-3)
         assert (got[~finite] < -1e28).all()
+
+
+def test_lattice_kernels_match_scan():
+    from srhmm_tpu.ops import log_backward_full, log_forward_full
+    from srhmm_tpu.ops.pallas.lattice_pallas import (
+        backward_lattice_pallas,
+        forward_lattice_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    B, T, S = 4, 32, 6
+    log_b = rng.normal(size=(B, T, S))
+    trans = init_left_right_trans(S).astype(jnp.float32)
+    log_trans = jnp.where(trans > 0, jnp.log(jnp.maximum(trans, 1e-30)), -jnp.inf)
+    lengths = jnp.asarray([32, 20, 7, 2], jnp.int32)
+
+    lb_tsb = jnp.asarray(np.transpose(log_b, (1, 2, 0)), jnp.float32)
+    la = np.asarray(forward_lattice_pallas(lb_tsb, log_trans, lengths, interpret=True))
+    lbw = np.asarray(backward_lattice_pallas(lb_tsb, log_trans, lengths, interpret=True))
+    for i in range(B):
+        L = int(lengths[i])
+        ref_la = np.asarray(
+            log_forward_full(
+                jnp.asarray(log_b[i], jnp.float64), log_trans.astype(jnp.float64), lengths[i]
+            )
+        )
+        ref_lb = np.asarray(
+            log_backward_full(
+                jnp.asarray(log_b[i], jnp.float64), log_trans.astype(jnp.float64), lengths[i]
+            )
+        )
+        finite = np.isfinite(ref_la[:L])
+        np.testing.assert_allclose(
+            la[:L, :, i][finite], ref_la[:L][finite], rtol=1e-4, atol=1e-4
+        )
+        finite_b = np.isfinite(ref_lb[:L])
+        np.testing.assert_allclose(
+            lbw[:L, :, i][finite_b], ref_lb[:L][finite_b], rtol=1e-4, atol=1e-4
+        )
