@@ -208,10 +208,7 @@ def train_tied(
         iteration += 1
         total_lp = 0.0
         n_valid = 0
-        new_tied = None
-        # accumulate stats across buckets by chaining em steps is incorrect;
-        # instead accumulate raw stats
-        agg = None
+        agg = None  # raw stats accumulated across shape buckets
         for trs, f, ln in packed:
             per = jax.vmap(
                 lambda tr, ff, l: tied_utterance_stats(tied, tr, ff, l)

@@ -107,3 +107,62 @@ def test_cli_usage_errors():
     r = _run(["srhmm_tpu.cli.recognize", "1"], cwd=REPO)
     assert r.returncode == 1
     assert "Usage:" in r.stderr
+
+
+def test_decode_cli_end_to_end(reference_root, tmp_path):
+    """Continuous-decode CLI on fixture models: each utterance decodes to its
+    own word, WER 0%."""
+    models = sorted((reference_root / "test/test/models").glob("*.hmm"))[:3]
+    perfils = [
+        reference_root / "test/test/perfil_data" / (m.stem.replace("mean_", "mean_") + ".perfil")
+        for m in models
+    ]
+    (tmp_path / "models.txt").write_text("\n".join(str(m) for m in models) + "\n")
+    (tmp_path / "inputs.txt").write_text("\n".join(str(p) for p in perfils) + "\n")
+    (tmp_path / "refs.txt").write_text(
+        "\n".join(m.stem.replace("mean_", "") for m in models) + "\n"
+    )
+    r = _run(
+        [
+            "srhmm_tpu.cli.decode",
+            str(tmp_path / "models.txt"),
+            str(tmp_path / "inputs.txt"),
+            str(tmp_path / "out.txt"),
+            "--ref",
+            str(tmp_path / "refs.txt"),
+        ],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    out = (tmp_path / "out.txt").read_text()
+    assert "WER: 0.00%" in out
+
+
+def test_features_cli_wav_to_perfil(tmp_path):
+    """WAV -> MFCC -> .perfil round trip through the features CLI."""
+    import struct
+    import wave
+
+    import numpy as np
+
+    wav = tmp_path / "tone.wav"
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    (tmp_path / "wavs.txt").write_text(str(wav) + "\n")
+    out_dir = tmp_path / "feats"
+    r = _run(
+        ["srhmm_tpu.cli.features", str(tmp_path / "wavs.txt"), str(out_dir)],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from srhmm_tpu.io import read_perfil
+
+    feats = read_perfil(out_dir / "tone.perfil")
+    assert feats.shape == (98, 13)
+    assert np.isfinite(feats).all()

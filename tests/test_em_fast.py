@@ -164,7 +164,6 @@ def test_multi_stream_em():
     rng = np.random.default_rng(7)
     S, M = 4, 2
     streams = []
-    utts_per_stream = []
     for p, D in enumerate([5, 3]):
         means = rng.normal(size=(S, M, D)) * 3.0
         var = rng.uniform(0.6, 1.4, size=(S, M, D))
