@@ -149,17 +149,23 @@ def emissions_for_graph(
     return jnp.transpose(per_word, (1, 0, 2))[:, graph.state_to_word, within]
 
 
-@partial(jax.jit, static_argnames=("n_best",))
+@partial(jax.jit, static_argnames=("n_best", "beam"))
 def token_passing(
     graph: ComposedGraph,
     log_b: jax.Array,
     length: jax.Array | None = None,
     n_best: int = 1,
+    beam: float | None = None,
 ):
     """Frame-synchronous K-best Viterbi over the composed graph.
 
     log_b: (T, S_tot).  Returns (scores (S_tot, K) at the last valid frame,
     backpointers (T-1, S_tot, K) flat from-(state*K+k) indices).
+
+    beam: optional log-domain beam width — tokens more than `beam` below the
+    frame's best token are pruned to -inf (exact decode when None; histogram
+    pruning for large composed graphs).  Vectorized: pruning is a mask, not
+    a dynamic active list, so the step stays a dense TPU computation.
     """
     T, S_tot = log_b.shape
     K = n_best
@@ -178,6 +184,9 @@ def token_passing(
         cand = cand.reshape(S_tot * K, S_tot)
         top, idx = jax.lax.top_k(cand.T, K)  # (S_to, K)
         new = top + lb[:, None]
+        if beam is not None:
+            best = jnp.max(new)
+            new = jnp.where(new >= best - beam, new, -jnp.inf)
         bp = idx.astype(jnp.int32)
         if length is not None:
             keep = t < length

@@ -114,3 +114,40 @@ def test_word_loop_graph_shapes(vocab):
     frames = jnp.asarray(np.random.default_rng(3).normal(size=(10, 4)))
     lb = composed_emissions(vocab, frames)
     assert lb.shape == (10, S_tot)
+
+
+def test_beam_pruning_preserves_result_with_generous_beam(vocab):
+    """A generous beam must not change the 1-best result; a tiny beam still
+    yields a finite hypothesis (the best path survives by construction)."""
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop,
+        composed_emissions,
+        token_passing,
+        backtrace_words,
+    )
+
+    rng = np.random.default_rng(7)
+    truth = [1, 4, 0]
+    frames = jnp.asarray(
+        np.concatenate([_sample_word(_word_model(w), rng) for w in truth])
+    )
+    graph = compose_word_loop(vocab)
+    log_b = composed_emissions(vocab, frames)
+
+    f_exact, bp_exact = token_passing(graph, log_b, n_best=1)
+    s0, w0, _ = backtrace_words(
+        graph, np.asarray(f_exact), np.asarray(bp_exact), log_b.shape[0]
+    )
+    f_beam, bp_beam = token_passing(graph, log_b, n_best=1, beam=200.0)
+    s1, w1, _ = backtrace_words(
+        graph, np.asarray(f_beam), np.asarray(bp_beam), log_b.shape[0]
+    )
+    assert w0 == w1 == truth
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+    f_tiny, bp_tiny = token_passing(graph, log_b, n_best=1, beam=5.0)
+    s2, w2, _ = backtrace_words(
+        graph, np.asarray(f_tiny), np.asarray(bp_tiny), log_b.shape[0]
+    )
+    assert np.isfinite(s2)
+    assert w2 == truth  # easy synthetic task survives a tight beam

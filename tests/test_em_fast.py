@@ -212,3 +212,24 @@ def test_lane_major_e_step_matches_vmapped(fixture_frames):
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), rtol=1e-9, atol=1e-9
         )
+
+
+def test_multi_exemplar_full_cov_matches_parity(reference_root):
+    """Multi-exemplar full-covariance training: fast f64 EM equals the
+    reference-exact oracle on 3 fixture utterances for the full run."""
+    words = ["vc_186_f_03_ap_0225", "vc_200_f_04_ap_015", "vc_254_f_03_ap_0225"]
+    utts = [
+        read_perfil(reference_root / f"train/test/perfil_data/mean_{w}.perfil")
+        for w in words
+    ]
+    init = create_initial_model([utts], 6, [1], cov_type="full")
+    res_p = train_word_parity([utts], init)
+    batch = pack_utterances(utts, pad_multiple=64, dtype=jnp.float64)
+    res_f = train_fast(init, batch)
+    assert res_f.iterations == res_p.iterations
+    np.testing.assert_allclose(res_f.mean_log_prob, res_p.mean_log_prob, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res_f.model.streams[0].means),
+        np.asarray(res_p.model.streams[0].means),
+        rtol=1e-8,
+    )
