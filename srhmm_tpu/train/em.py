@@ -251,7 +251,10 @@ def m_step(
     S = model.num_states
     dtype = model.trans.dtype
 
-    band = _band_mask(S, delta, dtype)
+    # structural mask from the model's own support: EM preserves zeros (xi is
+    # zero wherever trans is), so this works for any banding (delta >= 1),
+    # unlike a hard-coded delta band
+    band = (model.trans > 0).astype(dtype)
     den = stats.den_trans
     trans_new = jnp.where(
         (den > 0)[:, None],

@@ -24,7 +24,7 @@ from ..models.gmm_hmm import FULL
 from ..models.tying import TiedHmmSet
 from ..ops.emission import log_mixture_posteriors
 from ..ops.forward_backward import log_backward_full, log_forward_full
-from .em import StreamStats, _band_mask, update_stream
+from .em import StreamStats, update_stream
 from .embedded import _composed_log_trans
 
 
@@ -156,11 +156,10 @@ def tied_em_step(
 
     senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
 
-    S = tied.num_states
-    band = _band_mask(S, delta, tied.trans.dtype)
+    band = (tied.trans > 0).astype(tied.trans.dtype)  # per-unit support mask
     trans_new = jnp.where(
         (den_trans > 0)[..., None],
-        band[None] * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
+        band * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
         tied.trans,
     )
     return (
@@ -223,11 +222,10 @@ def train_tied(
         old = total_lp
         sen_stats, den_mix, num_trans, den_trans = agg[0], agg[1], agg[2], agg[3]
         senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
-        S = tied.num_states
-        band = _band_mask(S, 1, tied.trans.dtype)
+        band = (tied.trans > 0).astype(tied.trans.dtype)
         trans_new = jnp.where(
             (den_trans > 0)[..., None],
-            band[None] * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
+            band * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
             tied.trans,
         )
         tied = tied.replace(senones=senones, trans=trans_new)

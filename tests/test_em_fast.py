@@ -233,3 +233,36 @@ def test_multi_exemplar_full_cov_matches_parity(reference_root):
         np.asarray(res_p.model.streams[0].means),
         rtol=1e-8,
     )
+
+
+def test_delta2_band_preserved_by_m_step():
+    """Models with a wider transition band (delta=2) must keep their arcs
+    through EM — the M-step's structural mask comes from the model's own
+    support, not a hard-coded delta=1 band."""
+    rng = np.random.default_rng(13)
+    S, M, D = 5, 1, 4
+    means = rng.normal(size=(S, M, D)) * 3.0
+    var = np.ones((S, M, D))
+    model = GmmHmm(
+        trans=init_left_right_trans(S, delta=2),
+        streams=(
+            GmmStream(
+                weights=jnp.ones((S, M)),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    )
+    utts = [rng.normal(size=(60, D)) + np.repeat(means[:, 0], 12, axis=0) for _ in range(4)]
+    batch = pack_utterances(utts, pad_multiple=16, dtype=jnp.float64)
+    from srhmm_tpu.train.em import em_step
+
+    new_model, lp, nv = em_step(model, batch)
+    trans = np.asarray(new_model.trans)
+    support = np.asarray(model.trans) > 0
+    # skip-2 arcs (i -> i+2) must survive with nonzero probability mass
+    assert trans[0, 2] > 0
+    np.testing.assert_allclose(trans.sum(1)[:-1], 1.0, rtol=1e-9)
+    assert (trans[~support] == 0).all()
