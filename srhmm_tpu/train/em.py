@@ -230,7 +230,7 @@ def update_stream(
 
 
 def m_step(
-    model: GmmHmm, stats: SuffStats, delta: int = 1, var_floor: float = 0.0
+    model: GmmHmm, stats: SuffStats, var_floor: float = 0.0
 ) -> GmmHmm:
     """Reference-semantics parameter update (T1:1907-2000 + re-inversion),
     vectorized over (S, M).
@@ -268,12 +268,6 @@ def m_step(
     ]
 
     return model.replace(trans=trans_new, streams=tuple(new_streams))
-
-
-def _band_mask(S: int, delta: int, dtype) -> jax.Array:
-    i = jnp.arange(S)[:, None]
-    j = jnp.arange(S)[None, :]
-    return ((j >= i) & (j <= i + delta)).astype(dtype)
 
 
 def _batched_inv_logdet(cov: jax.Array):

@@ -136,14 +136,13 @@ def tied_utterance_stats(
     )
 
 
-@partial(jax.jit, static_argnames=("var_floor", "delta"))
+@partial(jax.jit, static_argnames=("var_floor",))
 def tied_em_step(
     tied: TiedHmmSet,
     transcripts: jax.Array,
     feats: jax.Array,
     lengths: jax.Array,
     var_floor: float = 0.0,
-    delta: int = 1,
 ):
     """One tied-state embedded EM iteration over an equal-shape bucket.
     Returns (new TiedHmmSet, total log prob, num valid)."""
