@@ -167,3 +167,72 @@ def backward_lattice_pallas(
         scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
         interpret=interpret,
     )(lb, lt, lens)
+
+
+def _fwd_lattice_blocked_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
+    """K_BLOCK frames per grid step, statically unrolled (no dynamic sublane
+    indexing — the pattern that breaks Mosaic).  lb/out blocks: (K, S, B)."""
+    tb = pl.program_id(0)
+    K, S, B = lb_ref.shape
+    dt = carry_ref.dtype
+    neg = jnp.asarray(NEG_INF, dt)
+    lt = lt_ref[:]
+    lens = len_ref[0]
+
+    carry = carry_ref[:]
+    for k in range(K):  # static unroll
+        t = tb * K + k
+
+        def first():
+            start = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == 0,
+                jnp.asarray(0.0, dt),
+                neg,
+            )
+            return lb_ref[k] + start
+
+        def rest():
+            cand = carry[:, None, :] + lt[:, :, None]
+            m = jnp.maximum(jnp.max(cand, axis=0), neg)
+            new = m + jnp.log(jnp.sum(jnp.exp(cand - m[None]), axis=0))
+            new = jnp.maximum(new + lb_ref[k], neg)
+            keep = jnp.broadcast_to(lens[None, :], (S, B)) > t.astype(dt)
+            return jnp.where(keep, new, carry)
+
+        carry = jax.lax.cond(t == 0, first, rest)
+        out_ref[k] = carry
+    carry_ref[:] = carry
+
+
+@partial(jax.jit, static_argnames=("k_block", "interpret"))
+def forward_lattice_pallas_blocked(
+    log_b_tsb: jax.Array,
+    log_trans: jax.Array,
+    lengths: jax.Array,
+    k_block: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Time-blocked variant of forward_lattice_pallas: k_block frames per
+    grid step (T % k_block == 0), amortizing the per-step block DMA."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, S, B = log_b_tsb.shape
+    assert T % k_block == 0, (T, k_block)
+    lb = jnp.maximum(log_b_tsb.astype(jnp.float32), NEG_INF)
+    lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    return pl.pallas_call(
+        _fwd_lattice_blocked_kernel,
+        grid=(T // k_block,),
+        in_specs=[
+            pl.BlockSpec((k_block, S, B), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t * 0, t * 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_block, S, B), lambda t: (t, t * 0, t * 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(lb, lt, lens)
