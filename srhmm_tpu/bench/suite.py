@@ -150,13 +150,13 @@ def config4(rng):
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
 
-    out = embedded_em_step(models, transcripts, feats, lengths)
-    jax.block_until_ready(out)
+    models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
+    float(lp)  # forced fetch: block_until_ready does not sync on this backend
     t0 = time.perf_counter()
     n = 5
     for _ in range(n):
-        out = embedded_em_step(models, transcripts, feats, lengths)
-    jax.block_until_ready(out)
+        models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
+    float(lp)
     dt = (time.perf_counter() - t0) / n
     return {"config": 4, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
