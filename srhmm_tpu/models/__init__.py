@@ -1,3 +1,11 @@
+from .decision_tree import (
+    ClusterResult,
+    Question,
+    cluster_states,
+    default_questions,
+    questions_from_classes,
+    state_stats_from_suffstats,
+)
 from .gmm_hmm import (
     DIAG,
     FULL,
@@ -11,9 +19,15 @@ from .gmm_hmm import (
 __all__ = [
     "DIAG",
     "FULL",
+    "ClusterResult",
     "GmmHmm",
     "GmmStream",
+    "Question",
+    "cluster_states",
+    "default_questions",
     "init_left_right_trans",
+    "questions_from_classes",
     "stack_models",
+    "state_stats_from_suffstats",
     "validate_model",
 ]

@@ -1,0 +1,101 @@
+"""Time-axis sequence parallelism (parallel/sequence.py): the time-sharded
+forward/backward lattices on an 8-device mesh must equal the single-device
+log-space recursions, including padding semantics and scores."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srhmm_tpu.models import init_left_right_trans
+from srhmm_tpu.ops.forward_backward import (
+    log_backward_full,
+    log_forward_full,
+    score_final_state,
+    score_total,
+)
+from srhmm_tpu.parallel.sequence import (
+    log_backward_time_sharded,
+    log_forward_time_sharded,
+    make_time_mesh,
+    pad_time,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_time_mesh(8)
+
+
+def _problem(seed, T, S):
+    rng = np.random.default_rng(seed)
+    log_b = jnp.asarray(rng.normal(size=(T, S)) * 3.0, jnp.float64)
+    trans = init_left_right_trans(S)
+    log_trans = jnp.log(jnp.where(trans > 0, trans, 0.0)).astype(jnp.float64)
+    return log_b, log_trans
+
+
+def test_forward_matches_single_device(mesh):
+    log_b, log_trans = _problem(0, T=160, S=6)
+    ref = log_forward_full(log_b, log_trans)
+    got = log_forward_time_sharded(log_b, log_trans, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-9)
+
+
+def test_backward_matches_single_device(mesh):
+    log_b, log_trans = _problem(1, T=160, S=6)
+    ref = log_backward_full(log_b, log_trans)
+    got = log_backward_time_sharded(log_b, log_trans, mesh)
+    # -inf positions must agree exactly; finite positions to tolerance
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert ((ref == -np.inf) == (got == -np.inf)).all()
+    f = np.isfinite(ref)
+    np.testing.assert_allclose(got[f], ref[f], rtol=1e-9, atol=1e-9)
+
+
+def test_padding_semantics_and_scores(mesh):
+    """Padded frames carry the forward row through and hold the backward
+    init, exactly as the single-device masked scans do; both scoring modes
+    read off the final row identically."""
+    log_b, log_trans = _problem(2, T=131, S=5)
+    length = 131
+    lb_pad = pad_time(log_b, 8 * 4)  # T=160, 20 frames/device
+    ref_a = log_forward_full(lb_pad, log_trans, jnp.asarray(length))
+    got_a = log_forward_time_sharded(lb_pad, log_trans, mesh, length=length)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a), rtol=1e-9, atol=1e-9)
+
+    ref_b = log_backward_full(lb_pad, log_trans, jnp.asarray(length))
+    got_b = log_backward_time_sharded(lb_pad, log_trans, mesh, length=length)
+    rb, gb = np.asarray(ref_b), np.asarray(got_b)
+    assert ((rb == -np.inf) == (gb == -np.inf)).all()
+    f = np.isfinite(rb)
+    np.testing.assert_allclose(gb[f], rb[f], rtol=1e-9, atol=1e-9)
+
+    np.testing.assert_allclose(
+        float(score_total(got_a[-1])), float(score_total(ref_a[-1])), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(score_final_state(got_a[-1])),
+        float(score_final_state(ref_a[-1])),
+        rtol=1e-12,
+    )
+
+
+def test_posteriors_from_sharded_lattices(mesh):
+    """gamma computed from the sharded lattices equals the single-device
+    gamma — the EM E-step can consume time-sharded lattices directly."""
+    log_b, log_trans = _problem(3, T=160, S=6)
+    la_s = log_forward_time_sharded(log_b, log_trans, mesh)
+    lb_s = log_backward_time_sharded(log_b, log_trans, mesh)
+    la = log_forward_full(log_b, log_trans)
+    lb = log_backward_full(log_b, log_trans)
+    z = la[-1, -1]
+    g_ref = np.asarray(jnp.exp(jnp.minimum(la + lb - z, 0.0)))
+    g_got = np.asarray(jnp.exp(jnp.minimum(la_s + lb_s - la_s[-1, -1], 0.0)))
+    np.testing.assert_allclose(g_got, g_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_indivisible_time_axis_raises(mesh):
+    log_b, log_trans = _problem(4, T=30, S=4)
+    with pytest.raises(ValueError):
+        log_forward_time_sharded(log_b, log_trans, mesh)
