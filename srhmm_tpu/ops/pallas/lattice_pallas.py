@@ -204,6 +204,100 @@ def _fwd_lattice_blocked_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
     carry_ref[:] = carry
 
 
+def _bwd_lattice_blocked_kernel(lb_ref, lt_ref, len_ref, out_ref, carry_ref):
+    """K_BLOCK lattice rows per grid step, reverse time, statically unrolled.
+
+    Grid step tb produces lattice rows [T-(tb+1)K, T-tb*K); the lb block
+    supplied by the index map is rows [t_lo+1, t_lo+K+1) clamped at T-1 —
+    row k of the block is log_b[t+1] for the row t being produced (the
+    final row's lb is unused: it holds the init)."""
+    tb = pl.program_id(0)
+    K, S, B = lb_ref.shape
+    dt = carry_ref.dtype
+    neg = jnp.asarray(NEG_INF, dt)
+    lt = lt_ref[:]
+    lens = len_ref[0]
+    T = pl.num_programs(0) * K
+
+    beta_T = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1,
+        jnp.asarray(0.0, dt),
+        neg,
+    )
+
+    carry = carry_ref[:]
+    for k in range(K - 1, -1, -1):  # static unroll, reverse time
+        t = (pl.num_programs(0) - 1 - tb) * K + k  # lattice row produced
+
+        def first():
+            return beta_T
+
+        def rest():
+            inner = lb_ref[k] + carry  # log_b[t+1] + beta[t+1]
+            cand = lt[:, :, None] + inner[None, :, :]
+            m = jnp.maximum(jnp.max(cand, axis=1), neg)
+            new = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None, :]), axis=1))
+            new = jnp.maximum(new, neg)
+            # rows at t >= length-1 hold the final-state init
+            active = jnp.broadcast_to(lens[None, :], (S, B)) > (
+                t.astype(dt) + 1.0
+            )
+            return jnp.where(active, new, beta_T)
+
+        carry = jax.lax.cond(t == T - 1, first, rest)
+        out_ref[k] = carry
+    carry_ref[:] = carry
+
+
+@partial(jax.jit, static_argnames=("k_block", "interpret"))
+def backward_lattice_pallas_blocked(
+    log_b_tsb: jax.Array,
+    log_trans: jax.Array,
+    lengths: jax.Array,
+    k_block: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Time-blocked lane-major log-beta lattice: (T, S, B) -> (T, S, B),
+    final-state initialization at each utterance's last valid frame
+    (semantics of ops.forward_backward.log_backward_full)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, S, B = log_b_tsb.shape
+    assert T % k_block == 0, (T, k_block)
+    lb = jnp.maximum(log_b_tsb.astype(jnp.float32), NEG_INF)
+    lt = jnp.maximum(log_trans.astype(jnp.float32), NEG_INF)
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    nb = T // k_block
+
+    # producing rows of block j = nb-1-tb needs log_b rows [jK+1, jK+K+1);
+    # blocks are K-aligned, so supply the SHIFTED view log_b[1:] padded by
+    # one duplicate final row, block index j (the pad row is only ever read
+    # for the init row, whose value is unused)
+    lb_shift = jnp.concatenate([lb[1:], lb[-1:]], axis=0)
+
+    return pl.pallas_call(
+        _bwd_lattice_blocked_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (k_block, S, B),
+                lambda tb, nb=nb: (nb - 1 - tb, 0 * tb, 0 * tb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((S, S), lambda tb: (0 * tb, 0 * tb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda tb: (0 * tb, 0 * tb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_block, S, B),
+            lambda tb, nb=nb: (nb - 1 - tb, 0 * tb, 0 * tb),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(lb_shift, lt, lens)
+
+
 @partial(jax.jit, static_argnames=("k_block", "interpret"))
 def forward_lattice_pallas_blocked(
     log_b_tsb: jax.Array,

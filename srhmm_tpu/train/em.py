@@ -418,16 +418,22 @@ def _log_backward_lattice_tb(log_b_tsb, log_trans, lengths):
     return jnp.concatenate([betas, beta_T[None]], axis=0)
 
 
-def e_step_lane_major(model: GmmHmm, batch: UtteranceBatch) -> SuffStats:
-    """EXPERIMENTAL: batched E-step with lane-major (S, B) scan carries.
+def e_step_lane_major(
+    model: GmmHmm, batch: UtteranceBatch, lattices: str = "scan"
+) -> SuffStats:
+    """Batched E-step with lane-major (S, B) lattice layout.
 
     Rationale: the vmapped path's scans carry (B, S) arrays whose minor axis
     is S (8..64) — only S of the VPU's 128 lanes do work.  This variant puts
     the batch on the lane axis.  Numerically equivalent to e_step
-    (test-locked); HOWEVER the (T, S, B) lattice scans currently hang XLA
-    compilation on the axon remote toolchain (>9 min for T=500, B=2048), so
-    em_step keeps the vmapped path as the default.  Revisit with a newer
-    toolchain; see ROADMAP.md."""
+    (test-locked).
+
+    lattices="scan": XLA (T, S, B) lattice scans — these currently hang XLA
+    compilation on the axon remote toolchain (>9 min at T=500, B=2048), so
+    em_step keeps the vmapped path as the default.
+    lattices="pallas": the time-blocked Pallas lattice kernels
+    (ops/pallas/lattice_pallas.py), which DO compile and run on the current
+    toolchain — f32, TPU-targeted (interpret-mode elsewhere)."""
     feats = batch.features  # (B, T, D)
     lengths = batch.lengths
     B, T, D = feats.shape
@@ -445,11 +451,27 @@ def e_step_lane_major(model: GmmHmm, batch: UtteranceBatch) -> SuffStats:
         log_b = lb_s if log_b is None else log_b + lb_s
 
     lb_tsb = jnp.transpose(log_b, (1, 2, 0))  # (T, S, B)
-    la = _log_forward_lattice_tb(lb_tsb, log_trans, lengths)
-    lbw = _log_backward_lattice_tb(lb_tsb, log_trans, lengths)
+    if lattices == "pallas":
+        from ..ops.pallas.lattice_pallas import (
+            backward_lattice_pallas_blocked,
+            forward_lattice_pallas_blocked,
+        )
+
+        k = next(k for k in (16, 8, 4, 2, 1) if T % k == 0)
+        la = forward_lattice_pallas_blocked(
+            lb_tsb, log_trans, lengths, k_block=k
+        ).astype(dtype)
+        lbw = backward_lattice_pallas_blocked(
+            lb_tsb, log_trans, lengths, k_block=k
+        ).astype(dtype)
+    else:
+        la = _log_forward_lattice_tb(lb_tsb, log_trans, lengths)
+        lbw = _log_backward_lattice_tb(lb_tsb, log_trans, lengths)
 
     log_z = la[-1, S - 1]  # (B,)
-    valid = jnp.isfinite(log_z) & (lengths > 0)
+    # the Pallas kernels clamp -inf to -1e30, so "unreachable final state"
+    # is a large-negative finite value there, not inf
+    valid = jnp.isfinite(log_z) & (log_z > -1e29) & (lengths > 0)
     safe_z = jnp.where(valid, log_z, 0.0)
     vmask = valid.astype(dtype)  # (B,)
 

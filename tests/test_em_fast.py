@@ -266,3 +266,21 @@ def test_delta2_band_preserved_by_m_step():
     assert trans[0, 2] > 0
     np.testing.assert_allclose(trans.sum(1)[:-1], 1.0, rtol=1e-9)
     assert (trans[~support] == 0).all()
+
+
+def test_lane_major_pallas_lattices_match(fixture_frames):
+    """e_step_lane_major(lattices="pallas") — the time-blocked Pallas lattice
+    kernels in place of the XLA scans — must produce the same statistics
+    (f32, interpret mode on CPU)."""
+    from srhmm_tpu.train.em import e_step_lane_major
+
+    rng = np.random.default_rng(17)
+    model = _toy_model(S=5, M=2, D=6, seed=3).astype(jnp.float32)
+    utts = [rng.normal(size=(40 + 13 * i, 6)) for i in range(5)]
+    batch = pack_utterances(utts, pad_multiple=32, pad_batch_to=8, dtype=jnp.float32)
+    a = e_step_lane_major(model, batch)
+    b = e_step_lane_major(model, batch, lattices="pallas")
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4
+        )

@@ -160,3 +160,58 @@ def test_lattice_kernels_match_scan():
         np.testing.assert_allclose(
             lbw[:L, :, i][finite_b], ref_lb[:L][finite_b], rtol=1e-4, atol=1e-4
         )
+
+
+def test_blocked_lattice_kernels_match_scan():
+    """Time-blocked (k_block frames per grid step) lane-major lattices must
+    match the scan references, including padding semantics past length."""
+    from srhmm_tpu.ops import log_backward_full, log_forward_full
+    from srhmm_tpu.ops.pallas.lattice_pallas import (
+        backward_lattice_pallas_blocked,
+        forward_lattice_pallas_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    B, T, S, K = 4, 32, 6, 8
+    log_b = rng.normal(size=(B, T, S))
+    trans = init_left_right_trans(S).astype(jnp.float32)
+    log_trans = jnp.where(trans > 0, jnp.log(jnp.maximum(trans, 1e-30)), -jnp.inf)
+    lengths = jnp.asarray([32, 21, 7, 2], jnp.int32)
+
+    lb_tsb = jnp.asarray(np.transpose(log_b, (1, 2, 0)), jnp.float32)
+    la = np.asarray(
+        forward_lattice_pallas_blocked(
+            lb_tsb, log_trans, lengths, k_block=K, interpret=True
+        )
+    )
+    lbw = np.asarray(
+        backward_lattice_pallas_blocked(
+            lb_tsb, log_trans, lengths, k_block=K, interpret=True
+        )
+    )
+    for i in range(B):
+        ref_la = np.asarray(
+            log_forward_full(
+                jnp.asarray(log_b[i], jnp.float64),
+                log_trans.astype(jnp.float64),
+                lengths[i],
+            )
+        )
+        ref_lb = np.asarray(
+            log_backward_full(
+                jnp.asarray(log_b[i], jnp.float64),
+                log_trans.astype(jnp.float64),
+                lengths[i],
+            )
+        )
+        # full lattices including the padded tail (carry-through / init rows)
+        fin = np.isfinite(ref_la)
+        np.testing.assert_allclose(
+            la[:, :, i][fin], ref_la[fin], rtol=1e-4, atol=1e-4
+        )
+        assert (la[:, :, i][~fin] < -1e28).all()
+        fin_b = np.isfinite(ref_lb)
+        np.testing.assert_allclose(
+            lbw[:, :, i][fin_b], ref_lb[fin_b], rtol=1e-4, atol=1e-4
+        )
+        assert (lbw[:, :, i][~fin_b] < -1e28).all()
