@@ -143,7 +143,7 @@ def config4(rng):
     from ..train.embedded import embedded_em_step
 
     P, S, M, D = 40, 3, 32, 13
-    B, T, L = 16, 512, 12
+    B, T, L = 512, 512, 12  # B saturates one chip (throughput flat past 512)
     units = [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"p{i}") for i in range(P)]
     models = stack_models(units)
     transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
@@ -178,7 +178,7 @@ def config5(rng):
 
     P, S, M, D = 700, 3, 16, 39
     N = 2000
-    B, T, L = 16, 304, 10
+    B, T, L = 1024, 304, 10  # B saturates one chip
     units = [
         _rand_model(np.random.default_rng(1000 + i), S, M, D, jnp.float32)
         .replace(word=f"tri{i}")

@@ -49,17 +49,20 @@ def _composed_log_trans(unit_log_trans: jax.Array) -> jax.Array:
     return lt.reshape(L * S, L * S)
 
 
-def utterance_stats(
+def utterance_stats_positional(
     models: GmmHmm,
     transcript: jax.Array,
     feats: jax.Array,
     length: jax.Array,
 ) -> SuffStats:
-    """E-step statistics for one utterance against the shared unit models.
+    """Per-POSITION E-step statistics for one utterance against the shared
+    unit models.
 
     models: stacked GmmHmm with leading unit axis P; transcript: (L,) int32
     unit ids; feats: (T, D) padded; length: valid frames.
-    Returns SuffStats with leading P axes (per-unit).
+    Returns SuffStats whose leading axis is the transcript POSITION L (and
+    the (L, S) pair for den_trans/den_mix) — the scatter back to unit space
+    happens at the batch level in `batch_stats`.
     """
     P = models.trans.shape[0]
     S = models.trans.shape[-1]
@@ -116,52 +119,83 @@ def utterance_stats(
     den_trans_pos = (gamma[:-1] * xi_mask[:, None, None]).sum(0)  # (L, S)
     den_mix_pos = gamma.sum(0)  # (L, S)
 
-    # scatter per-position stats back to units
-    seg = lambda vals, shape: jnp.zeros(shape, dtype).at[transcript].add(vals)
-    num_trans = seg(xi_pos, (P, S, S))
-    den_trans = seg(den_trans_pos, (P, S))
-    den_mix = seg(den_mix_pos, (P, S))
-
     stream_stats = []
     for si, stream in enumerate(models.streams):
         post_pos = jnp.transpose(unit_posts[si], (1, 0, 2, 3))[:, transcript]
         gm = gamma[..., None] * post_pos  # (T, L, S, M)
-        M = gm.shape[-1]
-        D = feats.shape[-1]
-        w = seg(gm.sum(0), (P, S, M))
-        x = seg(
-            jnp.einsum("tlsm,td->lsmd", gm, feats, preferred_element_type=dtype),
-            (P, S, M, D),
-        )
+        w = gm.sum(0)  # (L, S, M)
+        x = jnp.einsum("tlsm,td->lsmd", gm, feats, preferred_element_type=dtype)
         if stream.cov_type == FULL:
-            xx = seg(
-                jnp.einsum(
-                    "tlsm,td,te->lsmde", gm, feats, feats,
-                    preferred_element_type=dtype,
-                ),
-                (P, S, M, D, D),
+            xx = jnp.einsum(
+                "tlsm,td,te->lsmde", gm, feats, feats,
+                preferred_element_type=dtype,
             )
         else:
-            xx = seg(
-                jnp.einsum(
-                    "tlsm,td->lsmd", gm, feats * feats,
-                    preferred_element_type=dtype,
-                ),
-                (P, S, M, D),
+            xx = jnp.einsum(
+                "tlsm,td->lsmd", gm, feats * feats,
+                preferred_element_type=dtype,
             )
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return SuffStats(
-        num_trans=zero(num_trans),
-        den_trans=zero(den_trans),
-        den_mix=zero(den_mix),
+        num_trans=zero(xi_pos),
+        den_trans=zero(den_trans_pos),
+        den_mix=zero(den_mix_pos),
         streams=tuple(
             StreamStats(w=zero(s.w), x=zero(s.x), xx=zero(s.xx))
             for s in stream_stats
         ),
         log_prob=jnp.where(valid, log_z, 0.0),
         num_valid=valid.astype(dtype),
+    )
+
+
+def batch_stats(
+    models: GmmHmm,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+) -> SuffStats:
+    """Batch E-step statistics in UNIT space: vmapped positional stats, then
+    ONE scatter-add over the (B*L,) transcript unit ids.  Scattering inside
+    the per-utterance vmap would materialize (B, P, ...) inventory stats —
+    prohibitive for large unit inventories (the tied config-5 analog is
+    gigabytes); positional stats are only (B, L, ...)."""
+    P = models.trans.shape[0]
+    B, L = transcripts.shape
+    dtype = feats.dtype
+    per = jax.vmap(
+        lambda tr, f, l: utterance_stats_positional(models, tr, f, l)
+    )(transcripts, feats, lengths)
+
+    ids = transcripts.reshape(B * L)
+    seg = lambda a: (
+        jnp.zeros((P,) + a.shape[2:], dtype).at[ids].add(a.reshape(B * L, *a.shape[2:]))
+    )
+    return SuffStats(
+        num_trans=seg(per.num_trans),
+        den_trans=seg(per.den_trans),
+        den_mix=seg(per.den_mix),
+        streams=tuple(
+            StreamStats(w=seg(s.w), x=seg(s.x), xx=seg(s.xx))
+            for s in per.streams
+        ),
+        log_prob=per.log_prob.sum(),
+        num_valid=per.num_valid.sum(),
+    )
+
+
+def utterance_stats(
+    models: GmmHmm, transcript: jax.Array, feats: jax.Array, length: jax.Array
+) -> SuffStats:
+    """Unit-space E-step statistics for ONE utterance (batch_stats of a
+    singleton batch) — the per-utterance convenience/compat API."""
+    return batch_stats(
+        models,
+        transcript[None],
+        feats[None],
+        jnp.asarray(length).reshape(1),
     )
 
 
@@ -179,10 +213,7 @@ def embedded_em_step(
     exact; bucket utterances by transcript length); feats: (B, T, D).
     Returns (new models (P-stacked), total log prob, num valid).
     """
-    per_utt = jax.vmap(lambda tr, f, l: utterance_stats(models, tr, f, l))(
-        transcripts, feats, lengths
-    )
-    stats = jax.tree.map(lambda a: a.sum(0), per_utt)
+    stats = batch_stats(models, transcripts, feats, lengths)
     new_models = jax.vmap(lambda m, s: m_step(m, s, var_floor=var_floor))(
         models, _unstack_stats_axis(stats)
     )
@@ -252,10 +283,7 @@ def train_embedded(
         n_valid = 0
         agg_stats = None
         for trs, feats, lengths in packed:
-            per_utt = jax.vmap(
-                lambda tr, f, l: utterance_stats(models, tr, f, l)
-            )(trs, feats, lengths)
-            stats = jax.tree.map(lambda a: a.sum(0), per_utt)
+            stats = batch_stats(models, trs, feats, lengths)
             total_lp += float(stats.log_prob)
             n_valid += int(stats.num_valid)
             agg_stats = (

@@ -28,16 +28,20 @@ from .em import StreamStats, update_stream
 from .embedded import _composed_log_trans
 
 
-def tied_utterance_stats(
+def tied_utterance_stats_positional(
     tied: TiedHmmSet,
     transcript: jax.Array,
     feats: jax.Array,
     length: jax.Array,
 ):
-    """E-step statistics for one utterance against a tied set.
+    """Per-POSITION E-step statistics for one utterance against a tied set.
 
-    Returns (senone StreamStats (N, ...), den_mix_senone (N,),
-    num_trans (P, S, S), den_trans (P, S), log_prob, valid).
+    Returns (StreamStats over the L*S transcript positions, den_mix_pos
+    (L*S,), xi_pos (L, S, S), den_trans_pos (L, S), log_prob, valid).
+    Scattering into senone/unit space happens OUTSIDE the per-utterance
+    vmap (tied_batch_stats): scattering here would materialize a full
+    (B, N, M, D...) inventory per batch — gigabytes at config-5 scale —
+    where the positional stats are only (B, L*S, M, D...).
     """
     P = tied.num_units
     S = tied.num_states
@@ -91,49 +95,71 @@ def tied_utterance_stats(
         cross_flow = jnp.exp(jnp.minimum(cross, 0.0)) * xi_mask[:, None]
         xi_pos = xi_pos.at[:-1, S - 1, S - 1].add(cross_flow.sum(0))
 
-    num_trans = jnp.zeros((P, S, S), dtype).at[transcript].add(xi_pos)
-    den_trans = jnp.zeros((P, S), dtype).at[transcript].add(
-        (gamma[:-1] * xi_mask[:, None, None]).sum(0)
-    )
+    den_trans_pos = (gamma[:-1] * xi_mask[:, None, None]).sum(0)  # (L, S)
 
-    # senone-space GMM statistics: scatter positional gamma into the inventory
+    # positional GMM statistics (scatter to the senone inventory happens at
+    # the batch level)
     gm_ls = gamma.reshape(T, L * S)[..., None] * pos_post  # (T, LS, M)
-    M = gm_ls.shape[-1]
-    D = feats.shape[-1]
-    seg = lambda vals, shape: jnp.zeros(shape, dtype).at[flat_ids].add(vals)
 
-    w = seg(gm_ls.sum(0), (N, M))
-    den_mix = seg(gamma.reshape(T, L * S).sum(0), (N,))
-    x = seg(
-        jnp.einsum("tlm,td->lmd", gm_ls, feats, preferred_element_type=dtype),
-        (N, M, D),
-    )
+    w = gm_ls.sum(0)  # (LS, M)
+    den_mix_pos = gamma.reshape(T, L * S).sum(0)  # (LS,)
+    x = jnp.einsum("tlm,td->lmd", gm_ls, feats, preferred_element_type=dtype)
     if tied.senones.cov_type == FULL:
-        xx = seg(
-            jnp.einsum(
-                "tlm,td,te->lmde", gm_ls, feats, feats,
-                preferred_element_type=dtype,
-            ),
-            (N, M, D, D),
+        xx = jnp.einsum(
+            "tlm,td,te->lmde", gm_ls, feats, feats,
+            preferred_element_type=dtype,
         )
     else:
-        xx = seg(
-            jnp.einsum(
-                "tlm,td->lmd", gm_ls, feats * feats,
-                preferred_element_type=dtype,
-            ),
-            (N, M, D),
+        xx = jnp.einsum(
+            "tlm,td->lmd", gm_ls, feats * feats,
+            preferred_element_type=dtype,
         )
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return (
         StreamStats(w=zero(w), x=zero(x), xx=zero(xx)),
-        zero(den_mix),
-        zero(num_trans),
-        zero(den_trans),
+        zero(den_mix_pos),
+        zero(xi_pos),
+        zero(den_trans_pos),
         jnp.where(valid, log_z, 0.0),
         valid.astype(dtype),
     )
+
+
+def tied_batch_stats(
+    tied: TiedHmmSet,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+):
+    """Batch E-step statistics in senone/unit space: vmapped positional
+    stats, then ONE scatter-add over the (B*L*S,) senone ids / (B*L,) unit
+    ids.  Returns (senone StreamStats (N, ...), den_mix (N,),
+    num_trans (P, S, S), den_trans (P, S), log_prob, num_valid)."""
+    P, S, N = tied.num_units, tied.num_states, tied.num_senones
+    B, L = transcripts.shape
+    dtype = feats.dtype
+    per = jax.vmap(
+        lambda tr, f, l: tied_utterance_stats_positional(tied, tr, f, l)
+    )(transcripts, feats, lengths)
+    pos_stats, den_mix_pos, xi_pos, den_trans_pos, log_prob, valid = per
+
+    sen_ids = tied.state_map[transcripts].reshape(B * L * S)  # (B*L*S,)
+    seg = lambda vals: jnp.zeros((N,) + vals.shape[1:], dtype).at[sen_ids].add(vals)
+    flat = lambda a: a.reshape(B * L * S, *a.shape[2:])
+    sen_stats = StreamStats(
+        w=seg(flat(pos_stats.w)), x=seg(flat(pos_stats.x)), xx=seg(flat(pos_stats.xx))
+    )
+    den_mix = seg(den_mix_pos.reshape(B * L * S))
+
+    unit_ids = transcripts.reshape(B * L)
+    num_trans = jnp.zeros((P, S, S), dtype).at[unit_ids].add(
+        xi_pos.reshape(B * L, S, S)
+    )
+    den_trans = jnp.zeros((P, S), dtype).at[unit_ids].add(
+        den_trans_pos.reshape(B * L, S)
+    )
+    return sen_stats, den_mix, num_trans, den_trans, log_prob.sum(), valid.sum()
 
 
 @partial(jax.jit, static_argnames=("var_floor",))
@@ -146,11 +172,8 @@ def tied_em_step(
 ):
     """One tied-state embedded EM iteration over an equal-shape bucket.
     Returns (new TiedHmmSet, total log prob, num valid)."""
-    per = jax.vmap(lambda tr, f, l: tied_utterance_stats(tied, tr, f, l))(
-        transcripts, feats, lengths
-    )
-    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = jax.tree.map(
-        lambda a: a.sum(0), per
+    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = tied_batch_stats(
+        tied, transcripts, feats, lengths
     )
 
     senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
@@ -208,10 +231,7 @@ def train_tied(
         n_valid = 0
         agg = None  # raw stats accumulated across shape buckets
         for trs, f, ln in packed:
-            per = jax.vmap(
-                lambda tr, ff, l: tied_utterance_stats(tied, tr, ff, l)
-            )(trs, f, ln)
-            stats = jax.tree.map(lambda a: a.sum(0), per)
+            stats = tied_batch_stats(tied, trs, f, ln)
             total_lp += float(stats[4])
             n_valid += int(stats[5])
             agg = stats if agg is None else jax.tree.map(jnp.add, agg, stats)

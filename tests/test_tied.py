@@ -9,7 +9,7 @@ import pytest
 from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
 from srhmm_tpu.models.tying import TiedHmmSet, tie_from_models, untied_state_map
 from srhmm_tpu.train.embedded import utterance_stats
-from srhmm_tpu.train.tied import tied_em_step, tied_utterance_stats, train_tied
+from srhmm_tpu.train.tied import tied_batch_stats, tied_em_step, train_tied
 
 
 def _unit(seed, S=3, M=2, D=5):
@@ -60,8 +60,8 @@ def test_untied_matches_embedded(setup):
     feats = jnp.asarray(utts[0])
     ln = jnp.asarray(len(utts[0]))
 
-    sen_stats, den_mix, num_trans, den_trans, lp, valid = tied_utterance_stats(
-        tied, tr, feats, ln
+    sen_stats, den_mix, num_trans, den_trans, lp, valid = tied_batch_stats(
+        tied, tr[None], feats[None], ln[None]
     )
     emb = utterance_stats(stacked, tr, feats, ln)
     np.testing.assert_allclose(float(lp), float(emb.log_prob), rtol=1e-9)
@@ -93,8 +93,8 @@ def test_shared_senones_pool_statistics(setup):
     assert tied.num_senones == 9
     tr = jnp.asarray([0, 1], jnp.int32)  # both units -> shared senones
     feats = jnp.asarray(utts[0][:30])
-    sen_stats, den_mix, *_ = tied_utterance_stats(
-        tied, tr, feats, jnp.asarray(30)
+    sen_stats, den_mix, *_ = tied_batch_stats(
+        tied, tr[None], feats[None], jnp.asarray([30])
     )
     # all occupancy lands in senones 0..2
     assert float(np.asarray(den_mix)[3:].sum()) == 0.0
