@@ -231,3 +231,162 @@ def log_backward_time_sharded(
     """(T, S) log-beta lattice (final-state initialization), T sharded over
     `axis`.  Matches ops.forward_backward.log_backward_full."""
     return _sharded_lattice(_backward_shard, log_b, log_trans, length, mesh, axis)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel EM E-step
+# ---------------------------------------------------------------------------
+
+
+def _e_step_shard(model, feats_loc, lengths, *, n_dev: int, axis: str):
+    """Full Baum-Welch sufficient statistics from one time shard.
+
+    feats_loc: tuple of per-stream (B, Tl, D_p) local frame blocks; lengths:
+    (B,) true (global) frame counts.  Emission, gamma, and the per-frame xi
+    terms are local to the shard; the lattices use the block-operator prefix
+    scan above; the only extra cross-chip traffic is ONE (B, S) `ppermute`
+    carrying (log_b + log_beta) at each shard's first frame to its left
+    neighbour — the boundary term of xi_t = alpha_t + trans + b_{t+1} +
+    beta_{t+1} − Z for the shard-crossing transition.  Statistics are then
+    `psum`-reduced over the time axis (they are sums over frames, so time
+    sharding commutes with the reduction exactly as data sharding does for
+    the batch axis — SURVEY §2.4 SP row).
+    """
+    from ..train.em import StreamStats, SuffStats
+
+    B, Tl = feats_loc[0].shape[:2]
+    S = model.num_states
+    dtype = feats_loc[0].dtype
+    log_trans = model.log_trans().astype(dtype)
+    idx = lax.axis_index(axis)
+    t_global = idx * Tl + jnp.arange(Tl)  # (Tl,) varying
+
+    log_b = None
+    posts = []
+    from ..ops.emission import log_mixture_posteriors
+
+    for stream, sf in zip(model.streams, feats_loc):
+        D = sf.shape[-1]
+        lb_s, post_s = log_mixture_posteriors(sf.reshape(B * Tl, D), stream)
+        posts.append(post_s.reshape(B, Tl, S, -1))
+        lb_s = lb_s.reshape(B, Tl, S)
+        log_b = lb_s if log_b is None else log_b + lb_s
+
+    la = jax.vmap(
+        lambda lb, l: _forward_shard(lb, log_trans, l, n_dev=n_dev, axis=axis)
+    )(log_b, lengths)  # (B, Tl, S)
+    lbw = jax.vmap(
+        lambda lb, l: _backward_shard(lb, log_trans, l, n_dev=n_dev, axis=axis)
+    )(log_b, lengths)  # (B, Tl, S)
+
+    # final-state log Z lives on the last shard (padded rows repeat the last
+    # valid forward row); broadcast it with a psum
+    z_local = jnp.where(idx == n_dev - 1, la[:, -1, S - 1], 0.0)
+    log_z = lax.psum(z_local, axis)  # (B,) replicated
+    valid = jnp.isfinite(log_z) & (lengths > 0)
+    safe_z = jnp.where(valid, log_z, 0.0)
+    vmask = valid.astype(dtype)
+
+    frame_mask = (t_global[None, :] < lengths[:, None]).astype(dtype)  # (B, Tl)
+    gamma = (
+        jnp.exp(jnp.minimum(la + lbw - safe_z[:, None, None], 0.0))
+        * frame_mask[..., None]
+        * vmask[:, None, None]
+    )  # (B, Tl, S)
+
+    # xi boundary exchange: shard k needs (log_b + beta) at global frame
+    # t0 + Tl, i.e. the NEXT shard's first row
+    fwd_in = log_b + lbw  # (B, Tl, S)
+    nxt = lax.ppermute(
+        fwd_in[:, 0], axis, perm=[(k + 1, k) for k in range(n_dev - 1)]
+    )  # (B, S); zeros on the last shard (its final frame has no xi anyway)
+    fwd_in_next = jnp.concatenate([fwd_in[:, 1:], nxt[:, None]], axis=1)
+
+    xi_mask = (
+        (t_global[None, :] < lengths[:, None] - 1).astype(dtype)
+        * vmask[:, None]
+    )  # (B, Tl)
+    log_xi = (
+        la[:, :, :, None]
+        + log_trans[None, None]
+        + fwd_in_next[:, :, None, :]
+        - safe_z[:, None, None, None]
+    )  # (B, Tl, from, to)
+    xi = jnp.exp(jnp.minimum(log_xi, 0.0)) * xi_mask[..., None, None]
+    num_trans = lax.psum(xi.sum((0, 1)), axis)  # (S, S)
+    den_trans = lax.psum((gamma * xi_mask[..., None]).sum((0, 1)), axis)
+    den_mix = lax.psum(gamma.sum((0, 1)), axis)
+
+    stream_stats = []
+    for stream, post, sf in zip(model.streams, posts, feats_loc):
+        from ..models.gmm_hmm import FULL
+
+        gm = gamma[..., None] * post  # (B, Tl, S, M)
+        w = lax.psum(gm.sum((0, 1)), axis)
+        x = lax.psum(
+            jnp.einsum("btsm,btd->smd", gm, sf, preferred_element_type=dtype),
+            axis,
+        )
+        if stream.cov_type == FULL:
+            xx = lax.psum(
+                jnp.einsum(
+                    "btsm,btd,bte->smde", gm, sf, sf,
+                    preferred_element_type=dtype,
+                ),
+                axis,
+            )
+        else:
+            xx = lax.psum(
+                jnp.einsum(
+                    "btsm,btd->smd", gm, sf * sf, preferred_element_type=dtype
+                ),
+                axis,
+            )
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+
+    return SuffStats(
+        num_trans=num_trans,
+        den_trans=den_trans,
+        den_mix=den_mix,
+        streams=tuple(stream_stats),
+        log_prob=jnp.sum(jnp.where(valid, log_z, 0.0)),
+        num_valid=vmask.sum(),
+    )
+
+
+def e_step_time_sharded(model, batch, mesh: Mesh, axis: str = TIME_AXIS):
+    """Batched Baum-Welch E-step with the TIME axis sharded across chips.
+
+    Statistics are bit-equivalent (to reduction-order rounding) to
+    train.em.e_step; use when a single utterance's lattice does not fit one
+    chip's HBM (the reference's only answer was a hard MAX_TIME cap,
+    hmm-full-fs/hmm_continuous_full_fs.c:43).  Composes with data
+    parallelism: lay the batch on a `data` mesh axis outside and this on a
+    `time` axis.
+
+    batch: UtteranceBatch (or tuple of per-stream batches with equal frame
+    counts); `batch.max_frames` must divide evenly by the mesh's time axis —
+    pack with pad_to a multiple (io.dataset.pack_utterances pads anyway).
+    """
+    batches = batch if isinstance(batch, tuple) else (batch,)
+    lengths = batches[0].lengths
+    feats = tuple(b.features for b in batches)
+    n_dev = mesh.shape[axis]
+    T = feats[0].shape[1]
+    if T % n_dev:
+        raise ValueError(
+            f"time axis {T} not divisible by mesh axis '{axis}' ({n_dev}); "
+            "pack the batch padded to a multiple"
+        )
+    model_spec = jax.tree.map(lambda _: P(), model)
+    fn = shard_map(
+        partial(_e_step_shard, n_dev=n_dev, axis=axis),
+        mesh=mesh,
+        in_specs=(model_spec, P(None, axis, None), P()),
+        out_specs=P(),
+    )
+    feats = tuple(
+        jax.device_put(f, NamedSharding(mesh, P(None, axis, None)))
+        for f in feats
+    )
+    return jax.jit(fn)(model, feats, lengths)

@@ -317,11 +317,26 @@ def _repair_degenerate(weights, means, inv, log_det, cov_type):
     return weights, means, inv, log_det
 
 
+_m_step_jit = jax.jit(m_step, static_argnames=("var_floor",))
+
+
 @partial(jax.jit, static_argnames=("var_floor",))
 def em_step(model: GmmHmm, batch: UtteranceBatch, var_floor: float = 0.0):
     """One full EM iteration: (new_model, total_log_prob, num_valid)."""
     stats = e_step(model, batch)
     new_model = m_step(model, stats, var_floor=var_floor)
+    return new_model, stats.log_prob, stats.num_valid
+
+
+def em_step_time_sharded(model, batch, mesh, var_floor: float = 0.0, axis="time"):
+    """One EM iteration with the TIME axis sequence-parallel across chips
+    (parallel/sequence.py): E-step statistics are psum-reduced over the
+    `axis` mesh axis, M-step runs replicated.  Use when single utterances
+    outgrow one chip's HBM; otherwise em_step (data-parallel) is faster."""
+    from ..parallel.sequence import e_step_time_sharded
+
+    stats = e_step_time_sharded(model, batch, mesh, axis=axis)
+    new_model = _m_step_jit(model, stats, var_floor=var_floor)
     return new_model, stats.log_prob, stats.num_valid
 
 
@@ -331,10 +346,14 @@ def train_fast(
     threshold: float = 1.0e-3,
     max_iterations: int = 100,
     var_floor: float = 0.0,
+    time_mesh=None,
 ):
     """EM driver with the reference's convergence rule
     (|old - new| / |old| <= threshold, old initialized to 1.0, final pass
-    not applying an update — T1:306-346)."""
+    not applying an update — T1:306-346).
+
+    time_mesh: optional ("time",) Mesh — run each iteration sequence-parallel
+    (em_step_time_sharded) instead of single-device/data-parallel."""
     from .em_parity import TrainResult
 
     old = 1.0
@@ -343,7 +362,12 @@ def train_fast(
     n_valid = batch.batch_size
     while iteration < max_iterations:
         iteration += 1
-        new_model, log_prob, num_valid = em_step(model, batch, var_floor)
+        if time_mesh is not None:
+            new_model, log_prob, num_valid = em_step_time_sharded(
+                model, batch, time_mesh, var_floor
+            )
+        else:
+            new_model, log_prob, num_valid = em_step(model, batch, var_floor)
         log_prob = float(log_prob)
         n_valid = int(num_valid)
         history.append(log_prob)

@@ -99,3 +99,94 @@ def test_indivisible_time_axis_raises(mesh):
     log_b, log_trans = _problem(4, T=30, S=4)
     with pytest.raises(ValueError):
         log_forward_time_sharded(log_b, log_trans, mesh)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel E-step / EM
+# ---------------------------------------------------------------------------
+
+
+def _toy_batch(seed=0, B=3, S=4, M=2, D=6):
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans
+
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, M, D)) * 4.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    )
+    # lengths straddle shard boundaries of an 8-way, 96-frame packing
+    utts = [
+        rng.normal(size=(T, D)) * 2.0 for T in (96, 61, 24)[:B]
+    ]
+    batch = pack_utterances(utts, pad_multiple=96, dtype=jnp.float64)
+    return model, batch
+
+
+def test_e_step_time_sharded_matches(mesh):
+    """Full sequence-parallel E-step (gamma, banded xi with the boundary
+    ppermute, GMM moments) equals the single-device batched E-step."""
+    from srhmm_tpu.parallel.sequence import e_step_time_sharded
+    from srhmm_tpu.train.em import e_step
+
+    model, batch = _toy_batch()
+    ref = e_step(model, batch)
+    got = e_step_time_sharded(model, batch, mesh)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_e_step_time_sharded_full_cov_fixture(mesh, reference_root):
+    """Sequence-parallel E-step on a real full-covariance fixture model."""
+    from srhmm_tpu.init.lbg import create_initial_model
+    from srhmm_tpu.io import read_perfil
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.parallel.sequence import e_step_time_sharded
+    from srhmm_tpu.train.em import e_step
+
+    frames = read_perfil(
+        reference_root / "train/test/perfil_data/mean_vc_186_f_03_ap_0225.perfil"
+    )
+    model = create_initial_model([[frames]], 6, [1], cov_type="full")
+    batch = pack_utterances([frames], pad_multiple=8, dtype=jnp.float64)
+    ref = e_step(model, batch)
+    got = e_step_time_sharded(model, batch, mesh)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_train_fast_time_sharded_trajectory(mesh):
+    """train_fast(time_mesh=...) follows the identical EM trajectory
+    (iterations, log-prob history, final parameters)."""
+    from srhmm_tpu.train.em import train_fast
+
+    model, batch = _toy_batch(seed=5)
+    res_ref = train_fast(model, batch, max_iterations=4)
+    res_sp = train_fast(model, batch, max_iterations=4, time_mesh=mesh)
+    assert res_sp.iterations == res_ref.iterations
+    np.testing.assert_allclose(
+        res_sp.log_prob_history, res_ref.log_prob_history, rtol=1e-9
+    )
+    for a, b in zip(
+        jax.tree.leaves(res_ref.model), jax.tree.leaves(res_sp.model)
+    ):
+        if hasattr(a, "dtype"):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10
+            )
