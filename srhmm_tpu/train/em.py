@@ -104,16 +104,33 @@ def _per_utterance_stats(model: GmmHmm, feats, length: jax.Array):
     stream_stats = []
     for stream, post, sf in zip(model.streams, posts, feats_per_stream):
         gm = gamma[:, :, None] * post  # (T, S, M)
-        w = gm.sum(0)
-        x = jnp.einsum("tsm,td->smd", gm, sf, preferred_element_type=dtype)
+        D = sf.shape[-1]
+        ones = jnp.ones_like(sf[:, :1])
         if stream.cov_type == FULL:
+            # one GEMM pass over gm for (x, w); the (D, D) moment needs its
+            # own contraction
+            smk = jnp.einsum(
+                "tsm,tk->smk",
+                gm,
+                jnp.concatenate([sf, ones], -1),
+                preferred_element_type=dtype,
+            )
+            x, w = smk[..., :D], smk[..., D]
             xx = jnp.einsum(
                 "tsm,td,te->smde", gm, sf, sf, preferred_element_type=dtype
             )
         else:
-            xx = jnp.einsum(
-                "tsm,td->smd", gm, sf * sf, preferred_element_type=dtype
+            # fused [x, x^2, 1] moment GEMM: gm — the big (T, S, M) tensor —
+            # is read from HBM ONCE for all three statistics instead of three
+            # separate contractions (the stat einsums dominate E-step HBM
+            # traffic at production shapes)
+            smk = jnp.einsum(
+                "tsm,tk->smk",
+                gm,
+                jnp.concatenate([sf, sf * sf, ones], -1),
+                preferred_element_type=dtype,
             )
+            x, xx, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
@@ -525,20 +542,30 @@ def e_step_lane_major(
 
     gamma_bts = jnp.transpose(gamma_tsb, (2, 0, 1))  # (B, T, S)
     stream_stats = []
+    ones = jnp.ones_like(feats[..., :1])
     for stream, post in zip(model.streams, posts):
         gm = gamma_bts[..., None] * post  # (B, T, S, M)
-        w = gm.sum((0, 1))
-        x = jnp.einsum("btsm,btd->smd", gm, feats, preferred_element_type=dtype)
         if stream.cov_type == FULL:
+            smk = jnp.einsum(
+                "btsm,btk->smk",
+                gm,
+                jnp.concatenate([feats, ones], -1),
+                preferred_element_type=dtype,
+            )
+            x, w = smk[..., :D], smk[..., D]
             xx = jnp.einsum(
                 "btsm,btd,bte->smde", gm, feats, feats,
                 preferred_element_type=dtype,
             )
         else:
-            xx = jnp.einsum(
-                "btsm,btd->smd", gm, feats * feats,
+            # single-pass [x, x^2, 1] moment GEMM (see _per_utterance_stats)
+            smk = jnp.einsum(
+                "btsm,btk->smk",
+                gm,
+                jnp.concatenate([feats, feats * feats, ones], -1),
                 preferred_element_type=dtype,
             )
+            x, xx, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     return SuffStats(

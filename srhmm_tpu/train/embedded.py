@@ -123,18 +123,29 @@ def utterance_stats_positional(
     for si, stream in enumerate(models.streams):
         post_pos = jnp.transpose(unit_posts[si], (1, 0, 2, 3))[:, transcript]
         gm = gamma[..., None] * post_pos  # (T, L, S, M)
-        w = gm.sum(0)  # (L, S, M)
-        x = jnp.einsum("tlsm,td->lsmd", gm, feats, preferred_element_type=dtype)
+        D = feats.shape[-1]
+        ones = jnp.ones_like(feats[:, :1])
         if stream.cov_type == FULL:
+            lsk = jnp.einsum(
+                "tlsm,tk->lsmk",
+                gm,
+                jnp.concatenate([feats, ones], -1),
+                preferred_element_type=dtype,
+            )
+            x, w = lsk[..., :D], lsk[..., D]
             xx = jnp.einsum(
                 "tlsm,td,te->lsmde", gm, feats, feats,
                 preferred_element_type=dtype,
             )
         else:
-            xx = jnp.einsum(
-                "tlsm,td->lsmd", gm, feats * feats,
+            # single-pass [x, x^2, 1] moment GEMM over gm (train/em.py)
+            lsk = jnp.einsum(
+                "tlsm,tk->lsmk",
+                gm,
+                jnp.concatenate([feats, feats * feats, ones], -1),
                 preferred_element_type=dtype,
             )
+            x, xx, w = lsk[..., :D], lsk[..., D : 2 * D], lsk[..., 2 * D]
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))

@@ -101,19 +101,30 @@ def tied_utterance_stats_positional(
     # the batch level)
     gm_ls = gamma.reshape(T, L * S)[..., None] * pos_post  # (T, LS, M)
 
-    w = gm_ls.sum(0)  # (LS, M)
     den_mix_pos = gamma.reshape(T, L * S).sum(0)  # (LS,)
-    x = jnp.einsum("tlm,td->lmd", gm_ls, feats, preferred_element_type=dtype)
+    D = feats.shape[-1]
+    ones = jnp.ones_like(feats[:, :1])
     if tied.senones.cov_type == FULL:
+        lmk = jnp.einsum(
+            "tlm,tk->lmk",
+            gm_ls,
+            jnp.concatenate([feats, ones], -1),
+            preferred_element_type=dtype,
+        )
+        x, w = lmk[..., :D], lmk[..., D]
         xx = jnp.einsum(
             "tlm,td,te->lmde", gm_ls, feats, feats,
             preferred_element_type=dtype,
         )
     else:
-        xx = jnp.einsum(
-            "tlm,td->lmd", gm_ls, feats * feats,
+        # single-pass [x, x^2, 1] moment GEMM over gm_ls (train/em.py)
+        lmk = jnp.einsum(
+            "tlm,tk->lmk",
+            gm_ls,
+            jnp.concatenate([feats, feats * feats, ones], -1),
             preferred_element_type=dtype,
         )
+        x, xx, w = lmk[..., :D], lmk[..., D : 2 * D], lmk[..., 2 * D]
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return (
