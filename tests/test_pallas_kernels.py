@@ -215,3 +215,53 @@ def test_blocked_lattice_kernels_match_scan():
             lbw[:, :, i][fin_b], ref_lb[fin_b], rtol=1e-4, atol=1e-4
         )
         assert (lbw[:, :, i][~fin_b] < -1e28).all()
+
+
+def test_fused_e_step_matches_xla_e_step():
+    """e_step_fused (Pallas emission + in-register stat accumulation) must
+    reproduce e_step's sufficient statistics in f32, padding included."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import GmmHmm
+    from srhmm_tpu.train.em import e_step, e_step_fused
+
+    rng = np.random.default_rng(7)
+    S, M, D, B, T = 5, 3, 4, 6, 40
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(_stream(rng, S=S, M=M, D=D),),
+    ).astype(jnp.float32)
+    utts = [rng.normal(size=(T - 2 * (i % 3), D)) for i in range(B)]
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    ref = e_step(model, batch)
+    got = e_step_fused(model, batch, interpret=True)
+    np.testing.assert_allclose(got.num_trans, ref.num_trans, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got.den_trans, ref.den_trans, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got.den_mix, ref.den_mix, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got.log_prob), float(ref.log_prob), rtol=1e-5)
+    assert float(got.num_valid) == float(ref.num_valid)
+    for g, r in zip(got.streams, ref.streams):
+        np.testing.assert_allclose(g.w, r.w, rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(g.x, r.x, rtol=5e-4, atol=2e-4)
+        np.testing.assert_allclose(g.xx, r.xx, rtol=5e-4, atol=2e-4)
+
+
+def test_emission_stats_kernel_zero_likelihood_state():
+    """States with zero total likelihood (log_b == -inf) must contribute
+    nothing (no NaN from exp(q - (-inf)))."""
+    from srhmm_tpu.ops.pallas.emission_pallas import (
+        _pack_constants,
+        emission_stats_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    S, M, D, T = 4, 2, 3, 16
+    stream = _stream(rng, S=S, M=M, D=D).astype(jnp.float32)
+    frames = jnp.asarray(rng.normal(size=(T, D)), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0, 1, size=(T, S)), jnp.float32)
+    a, b = _pack_constants(stream, jnp.float32)
+    log_b = jnp.full((T, S), -jnp.inf, jnp.float32)
+    out = emission_stats_pallas(
+        frames, gamma, log_b, a, b, t_block=8, interpret=True
+    )
+    assert np.all(np.asarray(out) == 0.0)
