@@ -58,15 +58,50 @@ def compose_word_loop(
     vocab: GmmHmm,
     lm_logprobs: np.ndarray | None = None,
     exit_logprob: float = np.log(0.1),
+    lm_scale: float = 1.0,
+    word_insertion_penalty: float = 0.0,
+    lm_initial: np.ndarray | None = None,
 ) -> ComposedGraph:
     """Word-loop graph: every word's left-right HMM, with an arc from each
-    word's final state to every word's entry state (weight = exit_logprob +
-    unigram lm), enabling unrestricted word sequences."""
+    word's final state to every word's entry state, enabling unrestricted
+    word sequences.
+
+    lm_logprobs: language-model scores over the vocabulary —
+      * None: uniform unigram (-log W);
+      * shape (W,): unigram log-probs, same score into word v from any
+        predecessor;
+      * shape (W, W): bigram log P(next=v | prev=w) — row w weights the arcs
+        out of word w's exit state.  The word-loop state space identifies the
+        previous word at every exit state, so a bigram needs no state-space
+        expansion (higher-order LMs would; documented non-goal here).
+    lm_scale: multiplier on all LM scores (the standard acoustic/LM balance
+      knob; the reference has no LM at all — its model-set weights
+      `coef_model`, R2:193-196, scale *acoustic* scores and live in
+      cli/recognize.py).
+    word_insertion_penalty: additive log-score per word transition (negative
+      discourages insertions); applied on exit->entry arcs only, so an
+      N-word hypothesis accumulates (N-1) penalties.
+    lm_initial: optional (W,) log-probs for the first word; defaults to
+      lm_logprobs when that is a unigram, uniform when it is a bigram.
+    """
     W = vocab.trans.shape[0]
     S = vocab.trans.shape[-1]
     S_tot = W * S
     if lm_logprobs is None:
         lm_logprobs = np.full(W, -np.log(W))
+    lm_logprobs = np.asarray(lm_logprobs, dtype=np.float64)
+    if lm_logprobs.ndim == 1:
+        arc_lm = np.broadcast_to(lm_logprobs, (W, W))
+        initial = lm_logprobs if lm_initial is None else np.asarray(lm_initial)
+    elif lm_logprobs.shape == (W, W):
+        arc_lm = lm_logprobs
+        initial = (
+            np.full(W, -np.log(W)) if lm_initial is None else np.asarray(lm_initial)
+        )
+    else:
+        raise ValueError(
+            f"lm_logprobs must be (W,) or (W, W) for W={W}, got {lm_logprobs.shape}"
+        )
 
     lt = np.full((S_tot, S_tot), -np.inf)
     trans = np.asarray(vocab.trans)
@@ -78,11 +113,12 @@ def compose_word_loop(
     exit_ = np.arange(W) * S + (S - 1)
     for w in range(W):
         lt[exit_[w], entry] = np.maximum(
-            lt[exit_[w], entry], exit_logprob + lm_logprobs
+            lt[exit_[w], entry],
+            exit_logprob + lm_scale * arc_lm[w] + word_insertion_penalty,
         )
 
     log_entry = np.full(S_tot, -np.inf)
-    log_entry[entry] = lm_logprobs
+    log_entry[entry] = lm_scale * initial
 
     return ComposedGraph(
         log_trans=jnp.asarray(lt),
@@ -253,10 +289,19 @@ def decode_continuous(
     lm_logprobs: np.ndarray | None = None,
     n_best: int = 1,
     exit_logprob: float = float(np.log(0.1)),
+    lm_scale: float = 1.0,
+    word_insertion_penalty: float = 0.0,
 ):
-    """End-to-end continuous decode: compose word loop, token-pass, return
-    the N best (score, word_ids, spans) hypotheses."""
-    graph = compose_word_loop(vocab, lm_logprobs, exit_logprob)
+    """End-to-end continuous decode: compose word loop (unigram or bigram
+    LM, see compose_word_loop), token-pass, return the N best
+    (score, word_ids, spans) hypotheses."""
+    graph = compose_word_loop(
+        vocab,
+        lm_logprobs,
+        exit_logprob,
+        lm_scale=lm_scale,
+        word_insertion_penalty=word_insertion_penalty,
+    )
     log_b = composed_emissions(vocab, frames)
     final, bps = token_passing(graph, log_b, n_best=n_best)
     final = np.asarray(final)

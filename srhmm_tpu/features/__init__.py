@@ -1,6 +1,7 @@
 from .frontend import (
     FrontendConfig,
     add_deltas,
+    cmvn,
     dft_matrices,
     frame_signal,
     log_mel,
@@ -11,6 +12,7 @@ from .frontend import (
 __all__ = [
     "FrontendConfig",
     "add_deltas",
+    "cmvn",
     "dft_matrices",
     "frame_signal",
     "log_mel",

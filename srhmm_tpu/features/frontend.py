@@ -164,3 +164,38 @@ def add_deltas(feats: jax.Array, order_window: int = 2) -> jax.Array:
     d1 = jnp.einsum("ts,...sd->...td", dm, feats)
     d2 = jnp.einsum("ts,...sd->...td", dm, d1)
     return jnp.concatenate([feats, d1, d2], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("var_norm",))
+def cmvn(
+    feats: jax.Array,
+    lengths: jax.Array | None = None,
+    var_norm: bool = True,
+    eps: float = 1.0e-8,
+) -> jax.Array:
+    """Per-utterance cepstral mean (and variance) normalization.
+
+    feats: (..., T, D); lengths: optional (...,) valid frame counts for
+    padded batches — statistics are computed over valid frames only and
+    padded frames pass through untouched (so downstream masked scans see the
+    same padding they were given).  Standard speech-frontend component; the
+    reference has no frontend at all (SURVEY §2.6 — it consumes precomputed
+    .perfil features)."""
+    if lengths is None:
+        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        centered = feats - mean
+        if not var_norm:
+            return centered
+        var = jnp.mean(centered * centered, axis=-2, keepdims=True)
+        return centered * jax.lax.rsqrt(var + eps)
+    T = feats.shape[-2]
+    mask = (
+        jnp.arange(T) < lengths[..., None]
+    )[..., None].astype(feats.dtype)  # (..., T, 1)
+    n = jnp.maximum(lengths[..., None, None].astype(feats.dtype), 1.0)
+    mean = jnp.sum(feats * mask, axis=-2, keepdims=True) / n
+    centered = (feats - mean) * mask
+    if var_norm:
+        var = jnp.sum(centered * centered, axis=-2, keepdims=True) / n
+        centered = centered * jax.lax.rsqrt(var + eps)
+    return jnp.where(mask > 0, centered, feats)

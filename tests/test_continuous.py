@@ -151,3 +151,107 @@ def test_beam_pruning_preserves_result_with_generous_beam(vocab):
     )
     assert np.isfinite(s2)
     assert w2 == truth  # easy synthetic task survives a tight beam
+
+
+def test_bigram_graph_arc_weights(vocab):
+    """Arc weights out of word w's exit state must be exit + lm_scale *
+    bigram[w] + penalty; entry scores must be lm_scale * initial."""
+    W, S = 5, 3
+    rng = np.random.default_rng(3)
+    bigram = np.log(rng.dirichlet(np.ones(W), size=W))
+    initial = np.log(rng.dirichlet(np.ones(W)))
+    exit_lp, scale, pen = np.log(0.2), 1.3, -0.7
+    g = compose_word_loop(
+        vocab,
+        bigram,
+        exit_logprob=exit_lp,
+        lm_scale=scale,
+        word_insertion_penalty=pen,
+        lm_initial=initial,
+    )
+    lt = np.asarray(g.log_trans)
+    entry = np.asarray(g.entry_states)
+    exit_ = np.asarray(g.exit_states)
+    for w in range(W):
+        np.testing.assert_allclose(
+            lt[exit_[w], entry],
+            np.maximum(
+                exit_lp + scale * bigram[w] + pen,
+                # the word's own exit->entry arc competes with nothing else;
+                # internal left-right arcs never reach another word's entry
+                lt[exit_[w], entry],
+            ),
+            rtol=1e-12,
+        )
+        # arcs into OTHER words' entries are exactly the LM arc weight
+        others = [v for v in range(W) if v != w]
+        np.testing.assert_allclose(
+            lt[exit_[w], entry[others]],
+            exit_lp + scale * bigram[w, others] + pen,
+            rtol=1e-12,
+        )
+    np.testing.assert_allclose(
+        np.asarray(g.log_entry)[entry], scale * initial, rtol=1e-12
+    )
+
+
+def test_bigram_lm_steers_identical_acoustics():
+    """With an acoustically identical vocabulary the bigram LM alone decides
+    the word string: expect the argmax chain initial -> bigram -> bigram."""
+    base = _word_model(0)
+    W = 4
+    models = [base.replace(word=f"w{i}") for i in range(W)]
+    vocab5 = stack_models(models)
+
+    rng = np.random.default_rng(9)
+    frames = np.concatenate([_sample_word(base, rng) for _ in range(3)])
+
+    bigram = np.full((W, W), np.log(0.01 / (W - 1)))
+    chain = {0: 2, 2: 1, 1: 3}
+    for a, b in chain.items():
+        bigram[a, b] = np.log(0.99)
+    initial = np.log(np.full(W, 0.01 / (W - 1)))
+    initial[0] = np.log(0.99)
+
+    g = compose_word_loop(vocab5, bigram, lm_initial=initial)
+    log_b = composed_emissions(vocab5, jnp.asarray(frames))
+    final, bps = token_passing(g, log_b, n_best=1)
+    score, words, spans = backtrace_words(
+        g, np.asarray(final), np.asarray(bps), log_b.shape[0]
+    )
+    assert words == [0, 2, 1]
+    # and a reversed-chain LM flips the decode
+    bigram_rev = np.full((W, W), np.log(0.01 / (W - 1)))
+    for a, b in {1: 2, 2: 0, 0: 3}.items():
+        bigram_rev[a, b] = np.log(0.99)
+    initial_rev = np.log(np.full(W, 0.01 / (W - 1)))
+    initial_rev[1] = np.log(0.99)
+    g2 = compose_word_loop(vocab5, bigram_rev, lm_initial=initial_rev)
+    final2, bps2 = token_passing(g2, log_b, n_best=1)
+    _, words2, _ = backtrace_words(
+        g2, np.asarray(final2), np.asarray(bps2), log_b.shape[0]
+    )
+    assert words2 == [1, 2, 0]
+
+
+def test_insertion_penalty_discourages_word_breaks(vocab):
+    """A large negative word-insertion penalty must not increase the number
+    of decoded words, and drives the single-word hypothesis to win on
+    ambiguous (flat) acoustics."""
+    base = _word_model(0)
+    W = 3
+    vocab3 = stack_models([base.replace(word=f"w{i}") for i in range(W)])
+    rng = np.random.default_rng(11)
+    frames = np.concatenate([_sample_word(base, rng) for _ in range(2)])
+
+    free = decode_continuous(
+        vocab3, jnp.asarray(frames), exit_logprob=0.0, word_insertion_penalty=0.0
+    )
+    taxed = decode_continuous(
+        vocab3,
+        jnp.asarray(frames),
+        exit_logprob=0.0,
+        word_insertion_penalty=-1e4,
+    )
+    assert len(taxed[0][1]) <= len(free[0][1])
+    assert len(taxed[0][1]) == 1

@@ -88,3 +88,35 @@ def test_sine_peak_lands_in_right_mel_bin():
     centers = freqs[np.argmax(fb, axis=0)]
     expect = int(np.argmin(np.abs(centers - 1000.0)))
     assert abs(int(np.argmax(lm)) - expect) <= 1
+
+
+def test_cmvn_unpadded_moments():
+    from srhmm_tpu.features import cmvn
+
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(3, 40, 6)) * 4.0 + 2.5)
+    out = np.asarray(cmvn(feats))
+    np.testing.assert_allclose(out.mean(axis=-2), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out.var(axis=-2), 1.0, atol=1e-4)
+
+    centered = np.asarray(cmvn(feats, var_norm=False))
+    np.testing.assert_allclose(centered.mean(axis=-2), 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        centered, np.asarray(feats) - np.asarray(feats).mean(-2, keepdims=True),
+        rtol=1e-6,
+    )
+
+
+def test_cmvn_padded_matches_unpadded_prefix():
+    from srhmm_tpu.features import cmvn
+
+    rng = np.random.default_rng(6)
+    B, T, D = 4, 50, 5
+    feats = rng.normal(size=(B, T, D)) * 3.0 - 1.0
+    lengths = np.array([50, 33, 17, 1])
+    out = np.asarray(cmvn(jnp.asarray(feats), jnp.asarray(lengths)))
+    for b, L in enumerate(lengths):
+        solo = np.asarray(cmvn(jnp.asarray(feats[b, :L])))
+        np.testing.assert_allclose(out[b, :L], solo, atol=1e-5)
+        # padded frames pass through untouched
+        np.testing.assert_allclose(out[b, L:], feats[b, L:], rtol=1e-7)
