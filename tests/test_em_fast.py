@@ -284,3 +284,80 @@ def test_lane_major_pallas_lattices_match(fixture_frames):
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4
         )
+
+
+def test_bf16_stats_close_to_f32():
+    """bf16-input moment GEMMs (f32 accumulation): stats within ~1e-3 of the
+    f32 path even at modest batch (cancellation improves with scale; the
+    hardware-measured error at B=2048 x T=500 is ~2e-6), and the EM step's
+    log-prob is unaffected (it comes from the f32 lattices)."""
+    from srhmm_tpu.train.em import em_step
+
+    truth = _toy_model(seed=3)
+    utts = [_sample_hmm(400 + i, truth, T=60 + 5 * i) for i in range(16)]
+    batch = pack_utterances(utts, pad_multiple=32, dtype=jnp.float32)
+    model = truth.astype(jnp.float32)
+
+    s32 = e_step(model, batch)
+    s16 = e_step(model, batch, bf16_stats=True)
+    for a, b in [(s32.streams[0].w, s16.streams[0].w),
+                 (s32.streams[0].x, s16.streams[0].x),
+                 (s32.streams[0].xx, s16.streams[0].xx)]:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-3
+    # transition stats don't touch the moment GEMMs at all
+    np.testing.assert_allclose(
+        np.asarray(s32.num_trans), np.asarray(s16.num_trans), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(s32.log_prob), float(s16.log_prob), rtol=1e-6
+    )
+
+    m32, lp32, _ = em_step(model, batch)
+    m16, lp16, _ = em_step(model, batch, bf16_stats=True)
+    np.testing.assert_allclose(float(lp32), float(lp16), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m32.streams[0].means),
+        np.asarray(m16.streams[0].means),
+        rtol=5e-3, atol=5e-3,
+    )
+    assert np.isfinite(np.asarray(m16.streams[0].log_det)).all()
+
+
+def test_bf16_stats_full_cov():
+    """Full-covariance bf16 moment GEMMs stay close and PSD-invertible."""
+    from srhmm_tpu.train.em import em_step
+
+    rng = np.random.default_rng(8)
+    S, M, D = 3, 2, 4
+    means = rng.normal(size=(S, M, D)) * 3.0
+    cov = np.einsum("smdk,smek->smde",
+                    rng.normal(size=(S, M, D, D + 2)),
+                    rng.normal(size=(S, M, D, D + 2))) / (D + 2)
+    cov += 0.5 * np.eye(D)
+    w = np.full((S, M), 1.0 / M)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w, jnp.float32),
+                means=jnp.asarray(means, jnp.float32),
+                inv_cov=jnp.asarray(np.linalg.inv(cov), jnp.float32),
+                det=jnp.asarray(np.linalg.det(cov), jnp.float32),
+                cov_type=FULL,
+            ),
+        ),
+    )
+    utts = [
+        np.cumsum(rng.normal(size=(70, D)), axis=0) * 0.2 + means[min(i, S - 1), 0]
+        for i in range(12)
+    ]
+    batch = pack_utterances(utts, pad_multiple=32, dtype=jnp.float32)
+    s32 = e_step(model, batch)
+    s16 = e_step(model, batch, bf16_stats=True)
+    a = np.asarray(s32.streams[0].xx, np.float64)
+    b = np.asarray(s16.streams[0].xx, np.float64)
+    assert np.abs(a - b).max() / np.abs(a).max() < 2e-3
+    m16, lp16, _ = em_step(model, batch, bf16_stats=True)
+    assert np.isfinite(float(lp16))
+    assert np.isfinite(np.asarray(m16.streams[0].log_det)).all()
