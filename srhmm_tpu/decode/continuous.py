@@ -291,16 +291,22 @@ def decode_continuous(
     exit_logprob: float = float(np.log(0.1)),
     lm_scale: float = 1.0,
     word_insertion_penalty: float = 0.0,
+    lm_initial: np.ndarray | None = None,
 ):
     """End-to-end continuous decode: compose word loop (unigram or bigram
     LM, see compose_word_loop), token-pass, return the N best
-    (score, word_ids, spans) hypotheses."""
+    (score, word_ids, spans) hypotheses.
+
+    lm_initial: optional (W,) first-word log-probs forwarded to
+    compose_word_loop — without it a bigram LM decode starts from a uniform
+    first-word distribution."""
     graph = compose_word_loop(
         vocab,
         lm_logprobs,
         exit_logprob,
         lm_scale=lm_scale,
         word_insertion_penalty=word_insertion_penalty,
+        lm_initial=lm_initial,
     )
     log_b = composed_emissions(vocab, frames)
     final, bps = token_passing(graph, log_b, n_best=n_best)

@@ -67,12 +67,21 @@ def _per_utterance_stats(
 
     bf16_stats: feed the moment GEMMs bf16 inputs (f32 accumulation on the
     MXU).  bf16xbf16 products are exact in f32, so the only error is input
-    rounding (<=2^-9 relative), which is symmetric and cancels across the
-    ~1e6-frame sums of production batches — hardware-measured stat error vs
-    f32 inputs is ~2e-6 relative at the headline shape, for a 1.5x faster
-    stat contraction and half the gm/lift HBM traffic.  Keep False for
-    small-batch or parity-sensitive runs (errors can't cancel over few
-    frames).
+    rounding (<=2^-9 relative) — for a 1.5x faster stat contraction and half
+    the gm/lift HBM traffic.
+
+    Rounding-error note: the M-step recovers covariances through the moment
+    identity (sum g x^2 - 2 mu0 sum g x + mu0^2 w), which amplifies raw-moment
+    rounding by ~mean^2/variance — percent-level variance error for features
+    with magnitudes in the thousands (the reference fixtures) despite tiny
+    raw-moment error.  To kill the amplification, the bf16 path computes
+    moments about a SHIFTED ORIGIN (the stream's mean of means per dim):
+    features are centered BEFORE the bf16 cast, so the rounding is relative
+    to the centered magnitude (~ state spread + sigma), and the exact f32
+    unshift below restores original-space moments.  Residual stat error is
+    then ~2^-9 relative to centered scales — hardware-measured ~2e-6 relative
+    at the headline shape with unit-variance data.  Keep False for
+    parity-sensitive runs.
     """
     feats_per_stream = feats if isinstance(feats, tuple) else (feats,) * len(model.streams)
     S = model.num_states
@@ -118,35 +127,53 @@ def _per_utterance_stats(
         gm = (gamma[:, :, None] * post).astype(stat_in)  # (T, S, M)
         D = sf.shape[-1]
         ones = jnp.ones_like(sf[:, :1])
+        # shifted origin for bf16: center features on the stream's mean of
+        # means so the bf16 rounding is relative to centered magnitudes (see
+        # docstring); o == 0 keeps the f32 path bit-identical to before
+        o = (
+            jnp.mean(stream.means.astype(dtype), axis=(0, 1))
+            if bf16_stats
+            else jnp.zeros((D,), dtype)
+        )
+        y = sf - o
         if stream.cov_type == FULL:
-            # one GEMM pass over gm for (x, w); the (D, D) moment needs its
+            # one GEMM pass over gm for (y, w); the (D, D) moment needs its
             # own contraction
             smk = jnp.einsum(
                 "tsm,tk->smk",
                 gm,
-                jnp.concatenate([sf, ones], -1).astype(stat_in),
+                jnp.concatenate([y, ones], -1).astype(stat_in),
                 preferred_element_type=dtype,
             )
-            x, w = smk[..., :D], smk[..., D]
-            xx = jnp.einsum(
+            ys, w = smk[..., :D], smk[..., D]
+            yy = jnp.einsum(
                 "tsm,td,te->smde",
                 gm,
-                sf.astype(stat_in),
-                sf.astype(stat_in),
+                y.astype(stat_in),
+                y.astype(stat_in),
                 preferred_element_type=dtype,
             )
+            x = ys + o * w[..., None]
+            xx = (
+                yy
+                + o[:, None] * ys[..., None, :]
+                + ys[..., :, None] * o[None, :]
+                + (o[:, None] * o[None, :]) * w[..., None, None]
+            )
         else:
-            # fused [x, x^2, 1] moment GEMM: gm — the big (T, S, M) tensor —
+            # fused [y, y^2, 1] moment GEMM: gm — the big (T, S, M) tensor —
             # is read from HBM ONCE for all three statistics instead of three
             # separate contractions (the stat einsums dominate E-step HBM
             # traffic at production shapes)
             smk = jnp.einsum(
                 "tsm,tk->smk",
                 gm,
-                jnp.concatenate([sf, sf * sf, ones], -1).astype(stat_in),
+                jnp.concatenate([y, y * y, ones], -1).astype(stat_in),
                 preferred_element_type=dtype,
             )
-            x, xx, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
+            ys, yy, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
+            x = ys + o * w[..., None]
+            xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
         stream_stats.append(StreamStats(w=w.astype(dtype), x=x.astype(dtype), xx=xx.astype(dtype)))
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
@@ -456,6 +483,80 @@ def e_step_fused(
     )
 
 
+def e_step_fused_lane(
+    model: GmmHmm,
+    batch: UtteranceBatch,
+    feats_tdb: jax.Array | None = None,
+    k_block: int = 16,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Batched E-step on the fused LANE-MAJOR Pallas kernels
+    (ops/pallas/fused_em_pallas.py) — single diagonal-covariance stream.
+
+    Two kernels, batch on the 128-lane axis:
+      K1 emission + scaled forward  -> log_b, log-alpha  (one feats read)
+      K2 scaled backward + ALL statistics (xi, occupancies, GMM moments)
+    Nothing of shape (B, T, S, M), (B, T, S, S), or log-beta ever touches
+    HBM (~240 MB/iter vs ~900 MB for e_step at the headline shape).
+
+    feats_tdb: optional precomputed (T, D, B) transpose of batch.features —
+    pass it when calling in a loop (train_fast does) so the transpose isn't
+    re-done every iteration.
+    """
+    stream = model.streams[0]
+    if len(model.streams) != 1 or stream.cov_type != DIAG:
+        raise ValueError("e_step_fused_lane: single diagonal-covariance stream only")
+    from ..ops.pallas.fused_em_pallas import (
+        NEG_INF,
+        backward_stats_pallas,
+        emit_forward_pallas,
+        pack_lane_constants,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    feats = batch.features
+    lengths = batch.lengths
+    B, T, D = feats.shape
+    S = model.num_states
+    M = stream.num_mixtures
+    dtype = jnp.float32
+    while T % k_block:
+        k_block //= 2
+
+    if feats_tdb is None:
+        feats_tdb = jnp.transpose(feats.astype(dtype), (1, 2, 0))  # (T, D, B)
+    a_ms, bias_ms = pack_lane_constants(stream, dtype)
+    trans = model.trans.astype(dtype)
+
+    log_b, la = emit_forward_pallas(
+        feats_tdb, a_ms, bias_ms, trans, lengths,
+        k_block=k_block, interpret=interpret,
+    )
+    log_z = la[-1, S - 1, :]  # (B,) — rows repeat past each length
+    valid = jnp.isfinite(log_z) & (log_z > NEG_INF / 2) & (lengths > 0)
+    vmask = valid.astype(dtype)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    xi, den_trans, den_mix, mom = backward_stats_pallas(
+        feats_tdb, log_b, la, a_ms, bias_ms, trans, lengths, safe_z, vmask,
+        k_block=k_block, interpret=interpret,
+    )
+    mom = mom.reshape(M, S, 2 * D + 1).transpose(1, 0, 2)  # (S, M, 2D+1)
+    return SuffStats(
+        num_trans=xi.sum(-1),
+        den_trans=den_trans.sum(-1),
+        den_mix=den_mix.sum(-1),
+        streams=(
+            StreamStats(
+                w=mom[..., 2 * D], x=mom[..., :D], xx=mom[..., D : 2 * D]
+            ),
+        ),
+        log_prob=jnp.sum(safe_z),
+        num_valid=vmask.sum(),
+    )
+
+
 _m_step_jit = jax.jit(m_step, static_argnames=("var_floor",))
 
 
@@ -473,8 +574,12 @@ def em_step(
     diagonal covariance, single stream, f32) — no (B, T, S, M) HBM
     intermediates.
     bf16_stats=True feeds the moment GEMMs bf16 inputs with f32 accumulation
-    (emission/lattices stay f32) — ~2e-6 relative stat error at production
-    batch sizes, measurably faster (see _per_utterance_stats)."""
+    (emission/lattices stay f32) — shifted-origin moments keep the stat error
+    ~2e-6 relative, measurably faster (see _per_utterance_stats)."""
+    if fused and bf16_stats:
+        raise ValueError(
+            "em_step: fused=True has no bf16 stats path; pass one or the other"
+        )
     stats = (
         e_step_fused(model, batch)
         if fused

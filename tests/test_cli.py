@@ -100,6 +100,41 @@ def test_train_cli_reproduces_golden_model(reference_root, tmp_path):
     assert "number of exemplars in training sequence: 1" in txt
 
 
+def test_train_cli_reproduces_golden_text(reference_root, tmp_path):
+    """Trainer .txt summary byte-parity (modulo time lines) against the
+    committed golden summary written by writing_text (T1:2421-2527).  The
+    output path matches the reference run recipe so derived fields (model
+    file, parameter list path) reproduce exactly."""
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "train" / "test", run / "test")
+    (run / "test" / "parameters.txt").write_text(
+        "./test/perfil_data/mean_vc_186_f_03_ap_0225.perfil\n"
+    )
+    r = _run(
+        [
+            "srhmm_tpu.cli.train",
+            "vc_186_f_03_ap_0225",
+            "6",
+            "1",
+            "1",
+            "./test/parameters.txt",
+            "./test/result/mean_vc_186_f_03_ap_0225.hmm",
+        ],
+        cwd=run,
+    )
+    assert r.returncode == 0, r.stderr
+    got = _strip_volatile(
+        (run / "test" / "result" / "mean_vc_186_f_03_ap_0225.txt").read_text()
+    )
+    want = _strip_volatile(
+        (
+            reference_root / "train" / "test" / "result" / "mean_vc_186_f_03_ap_0225.txt"
+        ).read_text()
+    )
+    assert got == want
+
+
 def test_cli_usage_errors():
     r = _run(["srhmm_tpu.cli.train"], cwd=REPO)
     assert r.returncode == 1

@@ -173,14 +173,12 @@ def test_bigram_graph_arc_weights(vocab):
     entry = np.asarray(g.entry_states)
     exit_ = np.asarray(g.exit_states)
     for w in range(W):
+        # the word's own exit->own-entry arc: with S > 1 the entry state is
+        # distinct from the exit state, so no internal left-right arc competes
+        # and the LM arc weight must land exactly
         np.testing.assert_allclose(
-            lt[exit_[w], entry],
-            np.maximum(
-                exit_lp + scale * bigram[w] + pen,
-                # the word's own exit->entry arc competes with nothing else;
-                # internal left-right arcs never reach another word's entry
-                lt[exit_[w], entry],
-            ),
+            lt[exit_[w], entry[w]],
+            exit_lp + scale * bigram[w, w] + pen,
             rtol=1e-12,
         )
         # arcs into OTHER words' entries are exactly the LM arc weight

@@ -17,10 +17,21 @@ from srhmm_tpu.init.lbg import create_initial_model
 from srhmm_tpu.io import read_hmm, read_perfil, write_hmm
 from srhmm_tpu.train.em_parity import train_word_parity
 
+# all 13 fixture words with the golden iteration counts from
+# /root/reference/train/test/result/*.txt
 WORDS = [
     ("vc_186_f_03_ap_0225", 3),
     ("vc_200_f_02_ap_015", 5),
+    ("vc_200_f_02_ap_030", 4),
+    ("vc_200_f_04_ap_015", 3),
+    ("vc_200_f_04_ap_030", 4),
+    ("vc_220_f_013_ap_0225", 5),
+    ("vc_220_f_03_ap_010", 3),
+    ("vc_220_f_047_ap_0225", 3),
     ("vc_240_f_02_ap_015", 6),
+    ("vc_240_f_02_ap_030", 3),
+    ("vc_240_f_04_ap_015", 3),
+    ("vc_240_f_04_ap_030", 3),
     ("vc_254_f_03_ap_0225", 5),
 ]
 
