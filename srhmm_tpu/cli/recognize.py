@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from ..eval.report import RecognitionReport
     from ..io import read_list, read_perfil, read_vocabulary
-    from ..models import stack_models
+    from ..models import pad_stack_models, stack_models
 
     models_number = int(rest[0])
     model_lists = rest[1 : 1 + models_number]
@@ -73,14 +73,23 @@ def main(argv: list[str] | None = None) -> int:
     word_file = rest[-2]
     input_files = rest[1 + 2 * models_number : -2]
 
-    # load model sets (R1:199-244)
+    # load model sets (R1:199-244).  The reference's linked-list loader
+    # accepts per-model states/mixture counts (R2:201-245); mixed-shape
+    # vocabularies are stacked padded with per-word final-state indices.
     vocabs = []
+    final_states_per_set = []
     for ml in model_lists:
         models = read_vocabulary(ml)
         print("\nLoading Models")
         for m in models:
             print(f"Model: {m.word}")
-        vocabs.append(stack_models(models))
+        try:
+            vocabs.append(stack_models(models))
+            final_states_per_set.append(None)
+        except ValueError:
+            stacked, fs = pad_stack_models(models)
+            vocabs.append(stacked)
+            final_states_per_set.append(fs)
     words = list(vocabs[0].word)
     cov_type = vocabs[0].streams[0].cov_type
 
@@ -116,7 +125,12 @@ def main(argv: list[str] | None = None) -> int:
             obs_time = frames_per_stream[-1].shape[0]
             if ns.numerics == "parity":
                 s = np.asarray(
-                    score_vocab_parity(vocabs[j], frames_per_stream, mode=mode)
+                    score_vocab_parity(
+                        vocabs[j],
+                        frames_per_stream,
+                        mode=mode,
+                        final_states=final_states_per_set[j],
+                    )
                 )
             else:
                 s = np.asarray(
@@ -124,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
                         vocabs[j],
                         tuple(jnp.asarray(f) for f in frames_per_stream),
                         mode=mode,
+                        final_states=final_states_per_set[j],
                     )
                 )
             probab += coef_model[j] * s

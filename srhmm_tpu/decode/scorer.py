@@ -42,16 +42,23 @@ def _score_vocab_log(
     frames_per_stream: tuple[jax.Array, ...],
     mode: str = TOTAL,
     length: jax.Array | None = None,
+    final_states: jax.Array | None = None,
 ) -> jax.Array:
-    def one_word(word_model: GmmHmm) -> jax.Array:
+    def one_word(word_model: GmmHmm, fs) -> jax.Array:
         log_b = None
         for frames, stream in zip(frames_per_stream, word_model.streams):
             lb = log_state_emission(frames, (stream,))
             log_b = lb if log_b is None else log_b + lb
         la = log_forward(log_b, word_model.log_trans(), length)
-        return score_total(la) if mode == TOTAL else score_final_state(la)
+        if mode == TOTAL:
+            # padded filler states (pad_stack_models) are unreachable: their
+            # log-alpha is -inf and drops out of the logsumexp
+            return score_total(la)
+        return la[fs] if fs is not None else score_final_state(la)
 
-    return jax.vmap(one_word)(vocab)
+    if final_states is None:
+        return jax.vmap(lambda m: one_word(m, None))(vocab)
+    return jax.vmap(one_word)(vocab, final_states)
 
 
 @partial(jax.jit, static_argnames=("mode",))
@@ -60,17 +67,25 @@ def score_vocab_log(
     frames_per_stream: tuple[jax.Array, ...],
     mode: str = TOTAL,
     length: jax.Array | None = None,
+    final_states: jax.Array | None = None,
 ) -> jax.Array:
     """Log-space scores of one utterance against a stacked vocabulary.
 
     vocab: GmmHmm with leading word axis W; frames_per_stream: one (T, D_p)
-    array per stream.  Returns (W,) scores (higher = better).
+    array per stream.  final_states: optional (W,) per-word final-state
+    indices (heterogeneous vocabularies padded by pad_stack_models).
+    Returns (W,) scores (higher = better).
     """
-    return _score_vocab_log(vocab, frames_per_stream, mode, length)
+    return _score_vocab_log(vocab, frames_per_stream, mode, length, final_states)
 
 
 @partial(jax.jit, static_argnames=("mode",))
-def score_batch_log(vocab: GmmHmm, batch, mode: str = TOTAL) -> jax.Array:
+def score_batch_log(
+    vocab: GmmHmm,
+    batch,
+    mode: str = TOTAL,
+    final_states: jax.Array | None = None,
+) -> jax.Array:
     """Score a padded utterance batch against a stacked vocabulary.
 
     vocab: single-stream GmmHmm with leading word axis W; batch: UtteranceBatch
@@ -79,7 +94,7 @@ def score_batch_log(vocab: GmmHmm, batch, mode: str = TOTAL) -> jax.Array:
     its 13x redundant .perfil re-reads collapses into this).
     """
     return jax.vmap(
-        lambda f, l: _score_vocab_log(vocab, (f,), mode, l)
+        lambda f, l: _score_vocab_log(vocab, (f,), mode, l, final_states)
     )(batch.features, batch.lengths)
 
 
@@ -88,17 +103,25 @@ def score_vocab_parity(
     vocab: GmmHmm,
     frames_per_stream: tuple[jax.Array, ...],
     mode: str = TOTAL,
+    final_states: jax.Array | None = None,
 ) -> jax.Array:
-    """Float64 probability-domain scores replicating the reference exactly."""
+    """Float64 probability-domain scores replicating the reference exactly.
 
-    def one_word(word_model: GmmHmm) -> jax.Array:
+    final_states: optional (W,) per-word final-state indices for padded
+    heterogeneous vocabularies (pad_stack_models)."""
+
+    def one_word(word_model: GmmHmm, fs) -> jax.Array:
         b = prob_emission_parity(list(frames_per_stream), word_model.streams)
         alpha, scaling = scaled_forward_parity(b, word_model.trans)
         if mode == TOTAL:
             return parity_score_total(scaling)
-        return parity_score_final_state(scaling, alpha)
+        if fs is None:
+            return parity_score_final_state(scaling, alpha)
+        return -jnp.sum(jnp.log(scaling)) + jnp.log(alpha[-1, fs])
 
-    return jax.vmap(one_word)(vocab)
+    if final_states is None:
+        return jax.vmap(lambda m: one_word(m, None))(vocab)
+    return jax.vmap(one_word)(vocab, final_states)
 
 
 def rank(scores: np.ndarray) -> np.ndarray:

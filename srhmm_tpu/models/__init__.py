@@ -12,6 +12,7 @@ from .gmm_hmm import (
     GmmHmm,
     GmmStream,
     init_left_right_trans,
+    pad_stack_models,
     stack_models,
     validate_model,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "default_questions",
     "init_left_right_trans",
     "questions_from_classes",
+    "pad_stack_models",
     "stack_models",
     "state_stats_from_suffstats",
     "validate_model",

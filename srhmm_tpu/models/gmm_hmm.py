@@ -168,6 +168,88 @@ def stack_models(models: Sequence[GmmHmm]) -> GmmHmm:
     return stacked.replace(word=words)
 
 
+def pad_stack_models(models: Sequence[GmmHmm]) -> tuple[GmmHmm, jax.Array]:
+    """Stack per-word models of HETEROGENEOUS shapes into one GmmHmm.
+
+    The reference recognizer walks a linked list whose nodes carry their own
+    states_number / mixture_number read from each .hmm
+    (recognition-fs/recognition_continuous_fs.c:201-245, reading_model
+    :595-715), so a vocabulary can freely mix e.g. 5-state and 8-state
+    models.  The dense TPU layout gets the same capability by padding every
+    model to the max (S, M) per stream:
+
+      * filler STATES are unreachable: no arcs from real states reach them
+        (their trans rows are self-loop 1.0 only so rows stay stochastic),
+        hence their (log-)alpha is identically -inf / 0 and both scoring
+        modes are unaffected — but the FINAL state of a padded word is no
+        longer index S_max-1, so final-state scoring must gather the
+        returned `final_states` indices;
+      * filler MIXTURES get weight 0 (log -inf / prob 0 contribution) with
+        benign identity covariances.
+
+    Feature dims must match across models (all models of one stream score
+    the same feature file).  Returns (stacked GmmHmm, (W,) int32 final-state
+    indices).  Homogeneous inputs reduce to stack_models + full final index.
+    """
+    if not models:
+        raise ValueError("pad_stack_models: empty vocabulary")
+    n_streams = models[0].num_streams
+    for m in models[1:]:
+        if m.num_streams != n_streams:
+            raise ValueError("pad_stack_models: stream counts differ")
+        if m.coef_numbers != models[0].coef_numbers:
+            raise ValueError(
+                "pad_stack_models: feature dims differ "
+                f"({m.word}: {m.coef_numbers} vs {models[0].coef_numbers})"
+            )
+    s_max = max(m.num_states for m in models)
+    m_max = [
+        max(m.streams[p].num_mixtures for m in models) for p in range(n_streams)
+    ]
+
+    padded = []
+    for m in models:
+        S = m.num_states
+        dtype = np.asarray(m.trans).dtype
+        trans = np.zeros((s_max, s_max), dtype)
+        trans[:S, :S] = np.asarray(m.trans)
+        for s in range(S, s_max):
+            trans[s, s] = 1.0  # unreachable self-loop keeps rows stochastic
+        new_streams = []
+        for p, st in enumerate(m.streams):
+            M, D = st.num_mixtures, st.dim
+            Mx = m_max[p]
+            w = np.zeros((s_max, Mx), dtype)
+            w[:S, :M] = np.asarray(st.weights)
+            w[S:, 0] = 1.0  # filler states: benign unit weight on mixture 0
+            mu = np.zeros((s_max, Mx, D), dtype)
+            mu[:S, :M] = np.asarray(st.means)
+            det = np.ones((s_max, Mx), dtype)
+            det[:S, :M] = np.asarray(st.det)
+            if st.cov_type == FULL:
+                ic = np.tile(np.eye(D, dtype=dtype), (s_max, Mx, 1, 1))
+                ic[:S, :M] = np.asarray(st.inv_cov)
+            else:
+                ic = np.ones((s_max, Mx, D), dtype)
+                ic[:S, :M] = np.asarray(st.inv_cov)
+            new_streams.append(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(mu),
+                    inv_cov=jnp.asarray(ic),
+                    det=jnp.asarray(det),
+                    cov_type=st.cov_type,
+                    log_det=None,
+                )
+            )
+        padded.append(
+            GmmHmm(trans=jnp.asarray(trans), streams=tuple(new_streams), word=m.word)
+        )
+    stacked = stack_models(padded)
+    final_states = jnp.asarray([m.num_states - 1 for m in models], jnp.int32)
+    return stacked, final_states
+
+
 def init_left_right_trans(
     states_number: int, delta: int = 1, dtype=jnp.float64
 ) -> jax.Array:
