@@ -86,9 +86,36 @@ def main(argv: list[str] | None = None) -> int:
         else None
     )
 
-    utterances_per_stream = [
-        [read_perfil(p) for p in read_list(df)] for df in data_files
-    ]
+    if ns.numerics == "fast":
+        # native batched loading (io/dataset.load_batch -> native/loader.cpp
+        # worker pool when buildable): one threaded pass straight into the
+        # padded (B, T, D) arrays the fast path trains on.  The LBG init
+        # consumes per-utterance views of the same arrays — nothing is read
+        # from disk twice (the reference re-reads every .perfil twice per EM
+        # iteration, T1:259/287).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..io.dataset import load_batch
+
+        batches_f64 = tuple(
+            load_batch(df, dtype=jnp.float64) for df in data_files
+        )
+        utterances_per_stream = [
+            [
+                np.asarray(b.features[i, : int(b.lengths[i])], np.float64)
+                for i in range(b.batch_size)
+            ]
+            for b in batches_f64
+        ]
+        batches = tuple(
+            b.replace(features=b.features.astype(jnp.float32))
+            for b in batches_f64
+        )
+    else:
+        utterances_per_stream = [
+            [read_perfil(p) for p in read_list(df)] for df in data_files
+        ]
 
     if initial_model:
         model = read_hmm(initial_model)
@@ -106,15 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     if ns.numerics == "fast":
         import jax.numpy as jnp
 
-        from ..io.dataset import pack_utterances
         from ..train.em import train_fast
         from ..utils import EventLog
 
         log = EventLog()
-        batches = tuple(
-            pack_utterances(utts, dtype=jnp.float32)
-            for utts in utterances_per_stream
-        )
         batch = batches[0] if len(batches) == 1 else batches
         fast_model = model.astype(jnp.float32)
         with log.span("train_fast", word=word):

@@ -82,11 +82,54 @@ def load_batch(
     pad_multiple: int = 128,
     pad_batch_to: int | None = None,
     dtype=jnp.float32,
+    native: bool | None = None,
 ) -> UtteranceBatch:
-    """Read every .perfil in a list file into one padded batch."""
+    """Read every .perfil in a list file into one padded batch.
+
+    native=None (default) uses the C++ worker-pool loader
+    (native/loader.cpp via io/native_loader.py) when it can be built —
+    one pass to scan headers, one threaded pass straight into the padded
+    array — and falls back to the pure-Python reader otherwise.
+    native=False forces the Python reader (bit-parity-critical callers).
+    """
     from .lists import read_list
-    from .perfil import read_perfil
 
     base = Path(relative_to) if relative_to is not None else Path(".")
-    utts = [read_perfil(base / p) for p in read_list(list_path)]
+    paths = [str(base / p) for p in read_list(list_path)]
+
+    if native is None or native:
+        from .native_loader import load_batch_native, native_available, scan_perfil
+
+        if native_available():
+            shapes = scan_perfil(paths)
+            if (shapes[:, 0] > 0).all():
+                dims = set(int(d) for d in shapes[:, 1])
+                if len(dims) != 1:
+                    raise ValueError(f"{list_path}: mixed feature dims {dims}")
+                dim = dims.pop()
+                t_max = round_up(int(shapes[:, 0].max()), pad_multiple)
+                np_dtype = np.dtype(jnp.dtype(dtype).name)
+                if np_dtype not in (np.dtype(np.float32), np.dtype(np.float64)):
+                    np_dtype = np.dtype(np.float64)
+                feats, lengths = load_batch_native(
+                    paths, t_max, dim, dtype=np_dtype.type
+                )
+                if pad_batch_to is not None and len(paths) < pad_batch_to:
+                    extra = pad_batch_to - len(paths)
+                    feats = np.concatenate(
+                        [feats, np.zeros((extra, t_max, dim), feats.dtype)], 0
+                    )
+                    lengths = np.concatenate(
+                        [lengths, np.zeros((extra,), lengths.dtype)], 0
+                    )
+                return UtteranceBatch(
+                    features=jnp.asarray(feats, dtype=dtype),
+                    lengths=jnp.asarray(lengths.astype(np.int32)),
+                )
+            if native:
+                raise IOError(f"{list_path}: native loader failed to scan inputs")
+
+    from .perfil import read_perfil
+
+    utts = [read_perfil(p) for p in paths]
     return pack_utterances(utts, pad_multiple, pad_batch_to, dtype)

@@ -53,3 +53,21 @@ def test_wrong_dim_flagged(perfil_dir):
     paths = [str(sorted(perfil_dir.glob("*.perfil"))[0])]
     with pytest.raises((IOError, ValueError)):
         load_batch_native(paths, 10, 13)
+
+
+def test_load_batch_native_path_matches_python(perfil_dir, tmp_path):
+    """The production input path (io/dataset.load_batch) must produce
+    byte-identical batches through the native loader and the pure-Python
+    fallback — this is what the fast-path CLI and bench now consume."""
+    import numpy as np
+
+    from srhmm_tpu.io.dataset import load_batch
+    from srhmm_tpu.io.native_loader import native_available
+
+    paths = sorted(perfil_dir.glob("*.perfil"))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(str(p) for p in paths) + "\n")
+    a = load_batch(lst, dtype="float64", native=native_available())
+    b = load_batch(lst, dtype="float64", native=False)
+    np.testing.assert_array_equal(np.asarray(a.features), np.asarray(b.features))
+    np.testing.assert_array_equal(np.asarray(a.lengths), np.asarray(b.lengths))
