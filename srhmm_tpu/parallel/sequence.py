@@ -32,7 +32,7 @@ collectives ride ICI when the `time` axis is laid out within a slice.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -186,6 +186,22 @@ def _backward_shard(lb, log_trans, length, *, n_dev: int, axis: str):
     return jnp.concatenate([rows, beta_last[None]], axis=0)  # (Tl, S)
 
 
+@lru_cache(maxsize=64)
+def _jitted_lattice(kernel, mesh: Mesh, axis: str):
+    """Cached jitted shard_map lattice callable, keyed on (kernel, mesh,
+    axis).  Building a fresh shard_map + jax.jit per call would retrace —
+    and recompile — every invocation (round-1 weakness: train_fast over a
+    time mesh paid a full compile per EM iteration)."""
+    n_dev = mesh.shape[axis]
+    fn = shard_map(
+        partial(kernel, n_dev=n_dev, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=P(axis, None),
+    )
+    return jax.jit(fn)
+
+
 def _sharded_lattice(kernel, log_b, log_trans, length, mesh, axis):
     n_dev = mesh.shape[axis]
     T, S = log_b.shape
@@ -195,14 +211,8 @@ def _sharded_lattice(kernel, log_b, log_trans, length, mesh, axis):
             "use pad_time and pass the true length"
         )
     length = jnp.asarray(T if length is None else length, jnp.int32)
-    fn = shard_map(
-        partial(kernel, n_dev=n_dev, axis=axis),
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), P()),
-        out_specs=P(axis, None),
-    )
     log_b = jax.device_put(log_b, NamedSharding(mesh, P(axis, None)))
-    return jax.jit(fn)(log_b, log_trans, length)
+    return _jitted_lattice(kernel, mesh, axis)(log_b, log_trans, length)
 
 
 def log_forward_time_sharded(
@@ -378,15 +388,26 @@ def e_step_time_sharded(model, batch, mesh: Mesh, axis: str = TIME_AXIS):
             f"time axis {T} not divisible by mesh axis '{axis}' ({n_dev}); "
             "pack the batch padded to a multiple"
         )
-    model_spec = jax.tree.map(lambda _: P(), model)
+    feats = tuple(
+        jax.device_put(f, NamedSharding(mesh, P(None, axis, None)))
+        for f in feats
+    )
+    treedef = jax.tree.structure(model)
+    return _jitted_e_step(mesh, axis, treedef)(model, feats, lengths)
+
+
+@lru_cache(maxsize=64)
+def _jitted_e_step(mesh: Mesh, axis: str, model_treedef):
+    """Cached jitted shard_map E-step (see _jitted_lattice): one trace and
+    one compile per (mesh, model structure, shape) — NOT one per call."""
+    n_dev = mesh.shape[axis]
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
     fn = shard_map(
         partial(_e_step_shard, n_dev=n_dev, axis=axis),
         mesh=mesh,
         in_specs=(model_spec, P(None, axis, None), P()),
         out_specs=P(),
     )
-    feats = tuple(
-        jax.device_put(f, NamedSharding(mesh, P(None, axis, None)))
-        for f in feats
-    )
-    return jax.jit(fn)(model, feats, lengths)
+    return jax.jit(fn)

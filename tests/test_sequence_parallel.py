@@ -190,3 +190,57 @@ def test_train_fast_time_sharded_trajectory(mesh):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10
             )
+
+
+def test_no_retrace_on_repeated_calls(mesh):
+    """Round-1 weakness: every call built a fresh shard_map + jax.jit, so
+    train_fast(time_mesh=...) paid a full compile per EM iteration.  The
+    jitted callables are now cached per (mesh, structure); a second call
+    with the same shapes must hit the same trace (cache size stays 1)."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream
+    from srhmm_tpu.parallel.sequence import (
+        _e_step_shard,
+        _forward_shard,
+        _jitted_e_step,
+        _jitted_lattice,
+        e_step_time_sharded,
+    )
+
+    log_b, log_trans = _problem(5, T=160, S=6)
+    log_forward_time_sharded(log_b, log_trans, mesh)
+    jitted = _jitted_lattice(_forward_shard, mesh, "time")
+    before = jitted._cache_size()
+    for _ in range(3):
+        log_forward_time_sharded(log_b, log_trans, mesh)
+    assert jitted._cache_size() == before  # repeated calls: no new traces
+
+    rng = np.random.default_rng(11)
+    S, M, D = 4, 2, 5
+    means = rng.normal(size=(S, M, D))
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(jnp.float32)
+    batch = pack_utterances(
+        [rng.normal(size=(30 + i, D)) for i in range(4)],
+        pad_multiple=8 * 8,
+        dtype=jnp.float32,
+    )
+    e_step_time_sharded(model, batch, mesh)
+    jitted = _jitted_e_step(mesh, "time", jax.tree.structure(model))
+    before = jitted._cache_size()
+    for _ in range(3):
+        e_step_time_sharded(model, batch, mesh)
+    assert jitted._cache_size() == before  # repeated calls: no new traces
