@@ -235,6 +235,160 @@ def token_passing(
     return final, bps
 
 
+@struct.dataclass
+class BlockGraph:
+    """Block-structured word-loop graph: the dense (S_tot, S_tot) matrix of
+    ComposedGraph factors into per-word (W, S, S) within-word blocks plus a
+    (W, W) exit->entry arc matrix.  Token passing then costs
+    O(W S^2 K + W^2 K) per frame instead of the dense O((W S K) W S) —
+    sub-quadratic in W for the left-right word HMMs where almost all dense
+    entries are -inf.  Backpointers use the same flat (w*S+s)*K + k encoding
+    as the dense path, so backtrace_words works on either."""
+
+    log_trans: jax.Array  # (W, S, S) within-word log-transitions
+    arc: jax.Array  # (W, W) exit->entry arc log-weights (lm, penalty incl.)
+    log_entry: jax.Array  # (W,) initial scores at each word's entry state
+    words: tuple = struct.field(pytree_node=False, default=())
+
+
+def compose_word_loop_blocks(
+    vocab: GmmHmm,
+    lm_logprobs: np.ndarray | None = None,
+    exit_logprob: float = np.log(0.1),
+    lm_scale: float = 1.0,
+    word_insertion_penalty: float = 0.0,
+    lm_initial: np.ndarray | None = None,
+) -> BlockGraph:
+    """Block-structured equivalent of compose_word_loop (same LM arguments,
+    same arc semantics — test-locked equal decodes)."""
+    W = vocab.trans.shape[0]
+    if lm_logprobs is None:
+        lm_logprobs = np.full(W, -np.log(W))
+    lm_logprobs = np.asarray(lm_logprobs, dtype=np.float64)
+    if lm_logprobs.ndim == 1:
+        arc_lm = np.broadcast_to(lm_logprobs, (W, W))
+        initial = lm_logprobs if lm_initial is None else np.asarray(lm_initial)
+    elif lm_logprobs.shape == (W, W):
+        arc_lm = lm_logprobs
+        initial = (
+            np.full(W, -np.log(W)) if lm_initial is None else np.asarray(lm_initial)
+        )
+    else:
+        raise ValueError(
+            f"lm_logprobs must be (W,) or (W, W) for W={W}, got {lm_logprobs.shape}"
+        )
+    trans = np.asarray(vocab.trans)
+    with np.errstate(divide="ignore"):
+        log_word_trans = np.where(trans > 0, np.log(np.maximum(trans, 1e-300)), -np.inf)
+    arc = exit_logprob + lm_scale * arc_lm + word_insertion_penalty
+    return BlockGraph(
+        log_trans=jnp.asarray(log_word_trans),
+        arc=jnp.asarray(arc),
+        log_entry=jnp.asarray(lm_scale * initial),
+        words=tuple(vocab.word) if isinstance(vocab.word, tuple) else (),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_best", "beam"))
+def token_passing_blocks(
+    graph: BlockGraph,
+    log_b: jax.Array,
+    length: jax.Array | None = None,
+    n_best: int = 1,
+    beam: float | None = None,
+):
+    """Frame-synchronous K-best Viterbi over the block-structured word loop.
+
+    log_b: (T, W*S) composed emissions (same layout as composed_emissions).
+    Returns (scores (W*S, K) at the last valid frame, backpointers
+    (T-1, W*S, K) flat (w*S+s)*K + k indices) — identical contract (and
+    test-locked identical values) to the dense token_passing, at
+    O(W S^2 K + W^2 K) per frame."""
+    T = log_b.shape[0]
+    W, S, _ = graph.log_trans.shape
+    K = n_best
+    lb = log_b.reshape(T, W, S)
+    neg = jnp.asarray(-jnp.inf, log_b.dtype)
+
+    init = jnp.full((W, S, K), neg, log_b.dtype)
+    init = init.at[:, 0, 0].set(graph.log_entry + lb[0, :, 0])
+    # non-entry states unreachable at t=0 (dense path: log_entry is -inf
+    # off-entry); keep K>0 slots -inf
+    flat_ids = (
+        (jnp.arange(W * S)[:, None] * K + jnp.arange(K)[None, :])
+        .astype(jnp.int32)
+        .reshape(W, S, K)
+    )
+
+    lt = graph.log_trans.astype(log_b.dtype)  # (W, S, S)
+    arc = graph.arc.astype(log_b.dtype)  # (W, W)
+
+    def step(carry, inputs):
+        lbt, t = inputs  # (W, S), scalar
+        # within-word: candidates into (w, j) from (w, i, k)
+        cand_in = carry[:, :, :, None] + lt[:, :, None, :]  # (W, i, K, j)
+        cand_in = cand_in.reshape(W, S * K, S)
+        top_in, idx_in = jax.lax.top_k(
+            jnp.swapaxes(cand_in, 1, 2), K
+        )  # (W, j, K) values + indices into (i*K + k)
+        # flat encoding of the within-word source: (w*S + i)*K + k
+        i_src = idx_in // K
+        k_src = idx_in % K
+        bp_in = ((jnp.arange(W)[:, None, None] * S + i_src) * K + k_src).astype(
+            jnp.int32
+        )
+
+        # cross-word: exit tokens of every word -> every entry state
+        exit_tok = carry[:, S - 1, :]  # (W, K)
+        cross = exit_tok[:, None, :] + arc[:, :, None]  # (from_w, to_v, K)
+        cross = jnp.swapaxes(cross, 0, 1).reshape(W, W * K)  # (to_v, from_w*K)
+        top_x, idx_x = jax.lax.top_k(cross, K)  # (W, K)
+        w_src = idx_x // K
+        kx_src = idx_x % K
+        bp_x = ((w_src * S + (S - 1)) * K + kx_src).astype(jnp.int32)
+
+        # merge at entry state 0: within-word K + cross-word K
+        merged = jnp.concatenate([top_in[:, 0, :], top_x], axis=1)  # (W, 2K)
+        merged_bp = jnp.concatenate([bp_in[:, 0, :], bp_x], axis=1)
+        m_top, m_idx = jax.lax.top_k(merged, K)
+        m_bp = jnp.take_along_axis(merged_bp, m_idx, axis=1)
+
+        new = top_in.at[:, 0, :].set(m_top) + lbt[:, :, None]
+        bp = bp_in.at[:, 0, :].set(m_bp)
+        if beam is not None:
+            best = jnp.max(new)
+            new = jnp.where(new >= best - beam, new, neg)
+        if length is not None:
+            keep = t < length
+            new = jnp.where(keep, new, carry)
+            bp = jnp.where(keep, bp, flat_ids)
+        return new, bp
+
+    ts = jnp.arange(1, T)
+    final, bps = jax.lax.scan(step, init, (lb[1:], ts))
+    return final.reshape(W * S, K), bps.reshape(T - 1, W * S, K)
+
+
+@partial(jax.jit, static_argnames=())
+def backtrace_path_device(backpointers: jax.Array, state: jax.Array, k: jax.Array):
+    """Device-side backtrace: follow flat (state*K + k) pointers from the
+    final (state, k) token through the (T-1, S_tot, K) backpointer lattice.
+    Returns the (T,) state path — O(T) gathers on device instead of a host
+    loop over a (T-1, S_tot, K) transfer."""
+    K = backpointers.shape[-1]
+
+    def step(carry, bp_t):
+        s, kk = carry
+        flat = bp_t[s, kk]
+        return (flat // K, flat % K), s
+
+    (s0, _), rest = jax.lax.scan(
+        step, (state.astype(jnp.int32), k.astype(jnp.int32)),
+        backpointers, reverse=True,
+    )
+    return jnp.concatenate([s0[None], rest], axis=0)  # (T,)
+
+
 def backtrace_words(
     graph: ComposedGraph,
     final_scores: np.ndarray,
@@ -283,6 +437,20 @@ def backtrace_words(
     return float(score), words, spans
 
 
+def _words_from_path(path: np.ndarray, S: int) -> tuple[list[int], list[tuple[int, int]]]:
+    """Vectorized word-boundary extraction from a composed-state path: a
+    boundary is exactly an exit(S-1) -> entry(0) arc crossing (the rule of
+    backtrace_words, without the host loop)."""
+    p = np.asarray(path)
+    crossed = np.zeros(len(p), dtype=bool)
+    if len(p) > 1:
+        crossed[1:] = (p[1:] % S == 0) & (p[:-1] % S == S - 1) & (p[1:] != p[:-1])
+    starts = np.flatnonzero(np.concatenate([[True], crossed[1:]]))
+    ends = np.append(starts[1:], len(p))
+    words = (p[starts] // S).astype(int).tolist()
+    return words, list(zip(starts.tolist(), ends.tolist()))
+
+
 def decode_continuous(
     vocab: GmmHmm,
     frames: jax.Array,
@@ -292,6 +460,7 @@ def decode_continuous(
     lm_scale: float = 1.0,
     word_insertion_penalty: float = 0.0,
     lm_initial: np.ndarray | None = None,
+    engine: str = "blocks",
 ):
     """End-to-end continuous decode: compose word loop (unigram or bigram
     LM, see compose_word_loop), token-pass, return the N best
@@ -299,28 +468,62 @@ def decode_continuous(
 
     lm_initial: optional (W,) first-word log-probs forwarded to
     compose_word_loop — without it a bigram LM decode starts from a uniform
-    first-word distribution."""
-    graph = compose_word_loop(
-        vocab,
-        lm_logprobs,
-        exit_logprob,
+    first-word distribution.
+    engine: "blocks" (default) — block-structured token passing,
+    O(W S^2 K + W^2 K) per frame with device-side backtrace, scales to
+    hundreds of words; "dense" — the (S_tot K, S_tot) expansion (small
+    graphs / reference for equality tests)."""
+    kwargs = dict(
+        lm_logprobs=lm_logprobs,
+        exit_logprob=exit_logprob,
         lm_scale=lm_scale,
         word_insertion_penalty=word_insertion_penalty,
         lm_initial=lm_initial,
     )
     log_b = composed_emissions(vocab, frames)
-    final, bps = token_passing(graph, log_b, n_best=n_best)
-    final = np.asarray(final)
-    bps = np.asarray(bps)
     T = log_b.shape[0]
+    W = vocab.trans.shape[0]
+    S = vocab.trans.shape[-1]
+
+    if engine == "dense":
+        graph = compose_word_loop(vocab, **kwargs)
+        final, bps = token_passing(graph, log_b, n_best=n_best)
+        final = np.asarray(final)
+        bps = np.asarray(bps)
+        out = []
+        seen = set()
+        for r in range(n_best * len(np.asarray(graph.exit_states))):
+            score, words, spans = backtrace_words(graph, final, bps, T, rank=r)
+            key = tuple(words)
+            if key not in seen and np.isfinite(score):
+                seen.add(key)
+                out.append((score, words, spans))
+            if len(out) >= n_best:
+                break
+        return out
+
+    graph = compose_word_loop_blocks(vocab, **kwargs)
+    final, bps = token_passing_blocks(graph, log_b, n_best=n_best)
+    fin = np.asarray(final)  # (W*S, K); bps stays on device for backtrace
+    K = fin.shape[1]
+    exit_states = np.arange(W) * S + (S - 1)
+    ends = [(fin[s, k], s, k) for s in exit_states for k in range(K)]
+    ends.sort(key=lambda x: -x[0])
     out = []
     seen = set()
-    for r in range(n_best * len(np.asarray(graph.exit_states))):
-        score, words, spans = backtrace_words(graph, final, bps, T, rank=r)
+    for score, s, k in ends:
+        if not np.isfinite(score):
+            continue
+        path = np.asarray(
+            backtrace_path_device(
+                bps, jnp.asarray(s, jnp.int32), jnp.asarray(k, jnp.int32)
+            )
+        )
+        words, spans = _words_from_path(path[:T], S)
         key = tuple(words)
-        if key not in seen and np.isfinite(score):
+        if key not in seen:
             seen.add(key)
-            out.append((score, words, spans))
+            out.append((float(score), words, spans))
         if len(out) >= n_best:
             break
     return out

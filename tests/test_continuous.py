@@ -253,3 +253,87 @@ def test_insertion_penalty_discourages_word_breaks(vocab):
     )
     assert len(taxed[0][1]) <= len(free[0][1])
     assert len(taxed[0][1]) == 1
+
+
+def test_block_engine_matches_dense(vocab):
+    """The block-structured token passing (compose_word_loop_blocks +
+    token_passing_blocks) must produce the same hypotheses and scores as
+    the dense (S_tot K, S_tot) expansion, for unigram and bigram LMs and
+    n_best > 1."""
+    rng = np.random.default_rng(21)
+    truth = [1, 3, 0, 2]
+    frames = jnp.asarray(
+        np.concatenate([_sample_word(_word_model(w), rng) for w in truth])
+    )
+    W = 5
+    bigram = np.log(np.random.default_rng(5).dirichlet(np.ones(W), size=W))
+    for lm, scale, pen in [
+        (None, 1.0, 0.0),
+        (bigram, 1.4, -0.6),
+    ]:
+        dense = decode_continuous(
+            vocab, frames, lm_logprobs=lm, n_best=3,
+            lm_scale=scale, word_insertion_penalty=pen, engine="dense",
+        )
+        blocks = decode_continuous(
+            vocab, frames, lm_logprobs=lm, n_best=3,
+            lm_scale=scale, word_insertion_penalty=pen, engine="blocks",
+        )
+        assert [h[1] for h in blocks] == [h[1] for h in dense]
+        np.testing.assert_allclose(
+            [h[0] for h in blocks], [h[0] for h in dense], rtol=1e-6
+        )
+        assert [h[2] for h in blocks] == [h[2] for h in dense]
+
+
+def test_block_token_passing_matches_dense_lattice(vocab):
+    """Raw lattice contract: scores AND backpointer-traced paths agree."""
+    from srhmm_tpu.decode.continuous import (
+        backtrace_path_device,
+        compose_word_loop_blocks,
+        token_passing_blocks,
+    )
+
+    rng = np.random.default_rng(8)
+    truth = [4, 2]
+    frames = jnp.asarray(
+        np.concatenate([_sample_word(_word_model(w), rng) for w in truth])
+    )
+    graph_d = compose_word_loop(vocab)
+    graph_b = compose_word_loop_blocks(vocab)
+    log_b = composed_emissions(vocab, frames)
+
+    fd, bpd = token_passing(graph_d, log_b, n_best=2)
+    fb, bpb = token_passing_blocks(graph_b, log_b, n_best=2)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fd), rtol=1e-6)
+
+    # device-side backtrace equals the host backtrace of the dense lattice
+    T = log_b.shape[0]
+    s_best = int(np.argmax(np.asarray(fd)[:, 0]))
+    _, words_d, spans_d = backtrace_words(
+        graph_d, np.asarray(fd), np.asarray(bpd), T
+    )
+    path_b = np.asarray(
+        backtrace_path_device(bpb, jnp.asarray(s_best, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
+    from srhmm_tpu.decode.continuous import _words_from_path
+
+    words_b, spans_b = _words_from_path(path_b, vocab.trans.shape[-1])
+    assert words_b == words_d
+    assert spans_b == spans_d
+
+
+def test_block_engine_scales_to_200_words():
+    """W=200 word loop: the block engine decodes (sub-quadratic per-frame
+    cost); the dense engine at this size would expand a (W S K, W S)
+    matrix per frame."""
+    W, S, D = 200, 3, 4
+    models = [_word_model(i, S=S, D=D) for i in range(W)]
+    vocab = stack_models(models)
+    rng = np.random.default_rng(77)
+    truth = [17, 181, 3]
+    frames = jnp.asarray(
+        np.concatenate([_sample_word(models[w], rng) for w in truth])
+    )
+    hyps = decode_continuous(vocab, frames, n_best=1)
+    assert hyps[0][1] == truth
