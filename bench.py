@@ -1,26 +1,36 @@
 #!/usr/bin/env python3
-"""Headline benchmark: Baum-Welch EM training throughput (audio-seconds/s).
+"""Headline benchmarks. Prints one JSON line per metric; the FINAL line is
+the headline EM-training metric (with the decode RTF attached), so both
+BASELINE.json metrics — EM audio-seconds/s and Viterbi decode RTF — are in
+the recorded output.
 
-Workload (within the reference C's compile-time limits so the baseline can run
-the identical job): diagonal-covariance GMM-HMM, 8 states, 3 mixtures/state,
-9-dim features, 64 utterances x 500 frames (10 ms shift -> 5 s audio each).
+1. EM training throughput (audio-seconds of speech processed per second of
+   wall time, steady-state per-iteration):
+   * workload: diagonal-covariance GMM-HMM, 8 states, 3 mixtures/state,
+     9-dim features, 500-frame utterances (10 ms shift -> 5 s audio each) —
+     within the reference C's compile-time limits so the baseline can run
+     the identical job.
+   * ours: train/em.py em_step — the fused lane-major Pallas E-step
+     (ops/pallas/fused_em_pallas.py) on the TPU, f32, B=2048 batch.
+   * baseline: the reference diag trainer (train/source/hmm-fs/
+     hmm_continuous_fs.c) compiled -O2 on this machine's CPU; per-iteration
+     time = EM wall time / iterations (cached in .bench_baseline.json).
 
-* ours: train/em.py fast path (log-space batched EM), f32, one chip, steady-
-  state per-iteration time after compile.
-* baseline: the reference diag trainer (train/source/hmm-fs/
-  hmm_continuous_fs.c) compiled -O2 and run on the same synthetic dataset on
-  this machine's CPU; per-iteration time = total EM wall time / iterations
-  reported in its .txt.  Cached in .bench_baseline.json (delete to re-measure).
+2. Viterbi decode RTF: continuous token-passing decode (block engine,
+   decode/continuous.py) over a 13-word loop of reference-scale models
+   (6 states, 1 mixture, 9-dim) — real-time factor = decode seconds per
+   audio second.  Baseline: the C recognizer's implied RTF 0.021
+   (hmm-result.txt: 0.03 s per 1.42 s utterance; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+3. Suite configs 2/4/5 (bench/suite.py): 10-word 4-mix EM, 40-monophone
+   32-mix embedded re-estimation, 2k-senone tied-state EM.
 """
 
 import json
-import os
 import pathlib
 import shutil
+import struct
 import subprocess
-import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
@@ -31,7 +41,8 @@ S, M, D, B, T = 8, 3, 9, 64, 500  # C-baseline job (within its limits)
 OUR_B = 2048  # our side runs the same per-frame workload over a larger
              # data-parallel batch; audio-seconds/s is batch-normalized
 FRAME_SHIFT_S = 0.01
-AUDIO_SECONDS = B * T * FRAME_SHIFT_S  # per EM iteration
+AUDIO_SECONDS = B * T * FRAME_SHIFT_S  # per C EM iteration
+BASELINE_DECODE_RTF = 0.021  # hmm-result.txt:182-183 (BASELINE.md row 4)
 
 
 def make_dataset(seed=0):
@@ -43,7 +54,6 @@ def make_dataset(seed=0):
     state_means = rng.normal(size=(S, D)) * 5.0
     utts = []
     for _ in range(B):
-        # soft left-to-right progression
         bounds = np.sort(rng.choice(np.arange(1, T), S - 1, replace=False))
         ids = np.zeros(T, dtype=int)
         for k, b in enumerate(bounds):
@@ -53,12 +63,14 @@ def make_dataset(seed=0):
 
 
 def bench_ours(utts) -> float:
-    """Seconds per EM iteration (steady state), per OUR_B-utterance batch."""
+    """Seconds per EM iteration (steady state), per OUR_B-utterance batch,
+    on the production em_step (fused lane-major Pallas E-step on TPU)."""
     import jax
     import jax.numpy as jnp
 
     from srhmm_tpu.init.lbg import create_initial_model
     from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.ops.pallas.fused_em_pallas import trans_band
     from srhmm_tpu.train.em import em_step
 
     model = create_initial_model([utts], S, [M], cov_type="diag").astype(
@@ -68,19 +80,78 @@ def bench_ours(utts) -> float:
     batch = pack_utterances(
         (utts * reps)[:OUR_B], pad_multiple=128, dtype=jnp.float32
     )
+    band = trans_band(model.trans)
+    feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
 
-    new_model, lp, nv = em_step(model, batch)  # compile + warm
+    step = lambda m: em_step(m, batch, feats_tdb=feats_tdb, band=band)
+    new_model, lp, nv = step(model)  # compile + warm
     float(lp)  # NOTE: block_until_ready does not synchronize on this
     model = new_model  # environment's TPU backend; a scalar fetch does
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        model, lp, nv = em_step(model, batch)
+        model, lp, nv = step(model)
     last = float(lp)  # forces completion of the whole chained sequence
     dt = (time.perf_counter() - t0) / n_iter
     assert float(nv) == OUR_B, f"invalid utterances in bench: {float(nv)}"
     return dt
+
+
+def bench_decode_rtf() -> float:
+    """Continuous Viterbi decode RTF at reference scale: 13-word loop of
+    6-state 1-mixture 9-dim models, block token passing, T=1000 frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        token_passing_blocks,
+    )
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
+
+    W, Sd, Dd, Td = 13, 6, 9, 1000
+    rng = np.random.default_rng(1)
+
+    def one(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(Sd, 1, Dd)) * 4.0
+        var = r.uniform(0.5, 1.5, size=(Sd, 1, Dd))
+        return GmmHmm(
+            trans=init_left_right_trans(Sd),
+            streams=(
+                GmmStream(
+                    weights=jnp.ones((Sd, 1)),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([one(i) for i in range(W)]).astype(jnp.float32)
+    graph = compose_word_loop_blocks(vocab)
+    frames = jnp.asarray(rng.normal(size=(Td, Dd)), jnp.float32)
+
+    @jax.jit
+    def decode(frames):
+        log_b = composed_emissions(vocab, frames)
+        final, bps = token_passing_blocks(graph, log_b, n_best=1)
+        return final
+
+    out = decode(frames)
+    float(jnp.max(out))
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = decode(frames)
+    float(jnp.max(out))
+    dt = (time.perf_counter() - t0) / n
+    return dt / (Td * FRAME_SHIFT_S)
 
 
 def bench_reference(utts) -> float | None:
@@ -94,8 +165,6 @@ def bench_reference(utts) -> float | None:
             pass
     if not REF_SRC.exists():
         return None
-    import struct
-
     import numpy as np
 
     work = pathlib.Path("/tmp/srhmm_bench_ref")
@@ -142,6 +211,39 @@ def bench_reference(utts) -> float | None:
 
 def main():
     utts = make_dataset()
+
+    # suite configs 2/4/5 — each is independent; failures don't block the
+    # headline metrics
+    try:
+        from srhmm_tpu.bench import suite
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        for c in (2, 4, 5):
+            try:
+                print(json.dumps(suite.CONFIGS[c](rng)), flush=True)
+            except Exception as e:  # pragma: no cover
+                print(json.dumps({"config": c, "error": str(e)[:120]}), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"suite_error": str(e)[:120]}), flush=True)
+
+    rtf = None
+    try:
+        rtf = bench_decode_rtf()
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_rtf",
+                    "value": round(rtf, 6),
+                    "unit": "rtf",
+                    "vs_baseline": round(BASELINE_DECODE_RTF / rtf, 1),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "decode_rtf", "error": str(e)[:120]}), flush=True)
+
     ours = bench_ours(utts)
     ref = bench_reference(utts)
     ours_rate = OUR_B * T * FRAME_SHIFT_S / ours
@@ -153,6 +255,10 @@ def main():
                 "value": round(ours_rate, 1),
                 "unit": "audio_s/s",
                 "vs_baseline": round(vs, 1) if vs else None,
+                "decode_rtf": round(rtf, 6) if rtf else None,
+                "decode_rtf_vs_baseline": (
+                    round(BASELINE_DECODE_RTF / rtf, 1) if rtf else None
+                ),
             }
         )
     )

@@ -8,32 +8,36 @@ the MXU's N dimension, so the per-frame work is dense instead of using
   K1 `emit_forward_pallas`  (grid ascending time blocks):
       feats (T, D, B) -> log_b (T, S, B), log-alpha (T, S, B)
     Per frame: one (S*M, 2D) x (2D, B) MXU GEMM for all mixture
-    log-likelihoods (lifted-feature formulation, ops/emission.py), a
-    scaled-linear forward step — (S, S) x (S, B) MXU matvec + per-lane
-    normalization, the reference's own scaled recursion (T1:1414-1473)
-    with the scale tracked per lane — and a log conversion for the
-    lattice rows.  No (T, S*M) intermediate ever exists.
+    log-likelihoods (lifted-feature formulation, ops/emission.py) and a
+    LOG-DOMAIN forward step.  For banded left-right transitions (the
+    reference's structure, T1:772-791) the logsumexp runs over the
+    band+1 diagonals via sublane rolls — O(band * S * B) VPU work per
+    frame instead of O(S^2 B); `band=None` falls back to the dense
+    (S, S, B) update for arbitrary transition matrices.
 
   K2 `backward_stats_pallas` (grid descending time blocks):
       feats, log_b, log-alpha -> ALL E-step statistics
-      (xi (S, S, B), den_trans/den_mix (S, B), GMM moments (M*S, 2D+1))
-    Per frame: scaled-linear backward step (final-state init,
-    T1:1511-1513), xi accumulated in the numerically-safe log form
-    exp(min(la + log_trans + log_b' + log_beta' - z, 0)) exactly as the
-    XLA path (train/em.py), posterior/moment GEMMs recomputed in VMEM.
-    log-beta, gamma, posteriors, and the (T, S, M) occupancy tensor are
-    never written to HBM.
+      (uv for num_trans, den_trans/den_mix (S, B), GMM moments)
+    Per frame: log-domain (banded) backward step with final-state init
+    (T1:1511-1513); xi via the U/V factorization contracted over B on
+    the MXU (num_trans = trans * sum_t u v^T); posterior/moment GEMMs
+    recomputed in VMEM.  log-beta, gamma, posteriors, and the (T, S, M)
+    occupancy tensor are never written to HBM.
+
+Why log domain and not the reference's scaled-linear recursion: in f32
+the per-frame normalized alpha flushes states more than ~88 nats below
+the frame maximum to zero, and on real-scale data (per-frame emission
+log-lik gaps in the hundreds) that truncation loses probability mass
+that later turns out to lie on the winning path — hardware-measured 47
+nats of log Z error at T=500 (scratch/debug_correctness.py).  Log-domain
+carries have no such cliff; values are clamped at NEG_INF = -1e30 (the
+lattice_pallas.py convention).
 
 HBM traffic per EM iteration (headline shape B=2048, T=512, S=8, M=3,
 D=9): K1 reads 36 MB, writes 66 MB; K2 reads 134 MB, writes <1 MB —
 ~240 MB total vs ~900 MB for the XLA path (hardware-profiled in
 scratch/profile3.py; the XLA path's emission alone moves ~400 MB through
-lift/q intermediates).
-
-Numerical notes: scaled-linear scan values are per-frame normalized to
-[0, 1] (sum over states = 1), so f32 never overflows; underflow to 0
-maps to lattice value NEG_INF (the -1e30 clamp convention of
-lattice_pallas.py).  Statistics match train/em.e_step to f32 roundoff
+lift/q intermediates).  Statistics match train/em.e_step to f32 roundoff
 (test-locked in tests/test_pallas_kernels.py).
 """
 
@@ -76,39 +80,128 @@ def pack_lane_constants(stream: GmmStream, dtype=jnp.float32):
     return a.astype(dtype), jnp.maximum(bias, NEG_INF).astype(dtype)
 
 
+def trans_band(trans) -> int | None:
+    """Host-side band width of a transition matrix: smallest `band` with
+    trans[i, j] == 0 outside 0 <= j - i <= band, or None if lower-triangular
+    entries exist (not left-right).  Call OUTSIDE jit (concrete values)."""
+    import numpy as np
+
+    t = np.asarray(trans)
+    S = t.shape[-1]
+    nz = np.argwhere(t.reshape(-1, S, S).sum(0) != 0)
+    d = nz[:, 1] - nz[:, 0]
+    if (d < 0).any():
+        return None
+    return int(d.max())
+
+
 def _log_b_from_q(q, S, M):
-    """(M*S, B) m-major per-mixture log-liks -> scaled (b_hat (S, B) with
-    max_s b_hat == 1 per lane, log_b (S, B), m_t (1, B) log-scale)."""
-    m_t = jnp.maximum(jnp.max(q, axis=0, keepdims=True), NEG_INF)  # (1, B)
-    e = jnp.exp(q - m_t)  # (M*S, B), <= 1
-    b_state = e[0:S]
+    """(M*S, B) m-major per-mixture weighted log-liks -> per-state mixture
+    logsumexp log_b (S, B).  The max is taken PER STATE (over its own M
+    mixtures): a per-frame global max would flush states more than ~88 nats
+    below the frame's best state to -inf in f32.
+
+    NOTE: every constant in kernel code must be explicitly f32 — weak
+    Python literals become f64 constants under jax_enable_x64 and Mosaic
+    cannot legalize the resulting f64->f32 tpu.truncf."""
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    m_s = q[0:S]
     for m in range(1, M):
-        b_state = b_state + e[m * S : (m + 1) * S]
-    log_b = jnp.where(
-        b_state > 0.0, jnp.log(jnp.maximum(b_state, _TINY)) + m_t, NEG_INF
-    )
-    return b_state, log_b, m_t
+        m_s = jnp.maximum(m_s, q[m * S : (m + 1) * S])
+    m_s = jnp.maximum(m_s, neg)  # (S, B)
+    e = jnp.exp(q[0:S] - m_s)
+    for m in range(1, M):
+        e = e + jnp.exp(q[m * S : (m + 1) * S] - m_s)
+    return jnp.log(jnp.maximum(e, tiny)) + m_s
+
+
+def _shift_down(x, d, neg):
+    """y[j] = x[j - d] along the sublane axis, NEG_INF-filled at the top."""
+    if d == 0:
+        return x
+    rolled = pltpu.roll(x, shift=jnp.int32(d), axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row >= d, rolled, neg)
+
+
+def _shift_up(x, d, neg):
+    """y[j] = x[j + d] along the sublane axis, NEG_INF-filled at the bottom."""
+    if d == 0:
+        return x
+    S = x.shape[0]
+    rolled = pltpu.roll(x, shift=jnp.int32(S - d), axis=0)  # circular: y[j] = x[j+d mod S]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < S - d, rolled, neg)
+
+
+def _logsumexp_terms(terms, neg, tiny):
+    """Elementwise logsumexp over a static list of same-shape arrays."""
+    m = terms[0]
+    for t in terms[1:]:
+        m = jnp.maximum(m, t)
+    m = jnp.maximum(m, neg)
+    e = jnp.exp(terms[0] - m)
+    for t in terms[1:]:
+        e = e + jnp.exp(t - m)
+    return jnp.maximum(jnp.log(jnp.maximum(e, tiny)) + m, neg)
+
+
+def _fwd_update(carry, lt_log, diag_cols, band, neg, tiny):
+    """Log-domain forward: new[j] = logsumexp_i(carry[i] + lt[i, j]).
+
+    band is static: banded left-right uses sublane rolls over the band+1
+    diagonals (diag_cols[d][j] = lt_log[j-d, j]); band None is the dense
+    (S, S, B) fallback."""
+    if band is not None:
+        terms = [
+            _shift_down(carry, d, neg) + diag_cols[d]
+            for d in range(band + 1)
+        ]
+        return _logsumexp_terms(terms, neg, tiny)
+    cand = carry[:, None, :] + lt_log[:, :, None]  # (from, to, B)
+    m = jnp.maximum(jnp.max(cand, axis=0), neg)
+    e = jnp.sum(jnp.exp(cand - m[None]), axis=0)
+    return jnp.maximum(jnp.log(jnp.maximum(e, tiny)) + m, neg)
+
+
+def _bwd_update(inner, lt_log, diag_rows, band, neg, tiny):
+    """Log-domain backward: new[i] = logsumexp_j(lt[i, j] + inner[j]) where
+    inner = log_b[t+1] + log_beta[t+1].  diag_rows[d][i] = lt_log[i, i+d]."""
+    if band is not None:
+        terms = [
+            _shift_up(inner, d, neg) + diag_rows[d]
+            for d in range(band + 1)
+        ]
+        return _logsumexp_terms(terms, neg, tiny)
+    cand = lt_log[:, :, None] + inner[None, :, :]  # (i, j, B)
+    m = jnp.maximum(jnp.max(cand, axis=1), neg)
+    e = jnp.sum(jnp.exp(cand - m[:, None, :]), axis=1)
+    return jnp.maximum(jnp.log(jnp.maximum(e, tiny)) + m, neg)
 
 
 def _emit_fwd_kernel(
-    n_mix, k_block,
-    feats_ref, a_ref, bias_ref, trans_t_ref, len_ref,
+    n_mix, k_block, band,
+    feats_ref, a_ref, bias_ref, lt_log_ref, diag_ref, len_ref,
     log_b_ref, la_ref,
-    alpha_ref, c_ref,
+    la_carry_ref,
 ):
-    """One ascending time block: emission GEMM + scaled forward.
+    """One ascending time block: emission GEMM + log-domain forward.
 
     feats_ref: (k_block, D, B); a_ref: (M*S, 2D); bias_ref: (M*S, 1);
-    trans_t_ref: (S, S) TRANSPOSED linear transitions (new_j = sum_i a_i t_ij
-    = (trans^T @ alpha)_j); len_ref: (1, B) float lengths.
+    lt_log_ref: (S, S) log transitions; diag_ref: (band+1, S, 1) banded
+    diagonal columns (unused rows when band is None); len_ref: (1, B).
     Outputs: log_b_ref, la_ref (k_block, S, B).
-    Scratch: alpha_ref (S, B) scaled forward variable, c_ref (1, B) its
-    accumulated log-scale."""
+    Scratch: la_carry_ref (S, B) log-alpha carry."""
     tb = pl.program_id(0)
-    MS = a_ref.shape[0]
-    S = trans_t_ref.shape[0]
-    B = alpha_ref.shape[1]
+    S = lt_log_ref.shape[0]
+    B = la_carry_ref.shape[1]
     lens = len_ref[:]  # (1, B)
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    diag_cols = (
+        [diag_ref[d] for d in range(band + 1)] if band is not None else None
+    )
 
     for k in range(k_block):  # static unroll
         x = feats_ref[k]  # (D, B)
@@ -117,52 +210,39 @@ def _emit_fwd_kernel(
             jnp.dot(a_ref[:], lift, preferred_element_type=jnp.float32)
             + bias_ref[:]
         )  # (M*S, B)
-        b_hat, log_b, m_t = _log_b_from_q(q, S, n_mix)
+        log_b = _log_b_from_q(q, S, n_mix)
         log_b_ref[k] = log_b
 
         def first():
             start = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == 0, 1.0, 0.0
+                jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == 0,
+                jnp.float32(0.0),
+                neg,
             )
-            return start * b_hat, jnp.zeros((1, B), jnp.float32)
+            return jnp.maximum(start + log_b, neg)
 
         def rest():
-            raw = (
-                jnp.dot(
-                    trans_t_ref[:], alpha_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                * b_hat
+            upd = _fwd_update(
+                la_carry_ref[:], lt_log_ref[:], diag_cols, band, neg, tiny
             )
-            return raw, c_ref[:]
+            return jnp.maximum(upd + log_b, neg)
 
         if k == 0:
-            raw, c_base = jax.lax.cond(tb == 0, first, rest)
+            new = jax.lax.cond(tb == 0, first, rest)
         else:
-            raw, c_base = rest()
-        s = jnp.sum(raw, axis=0, keepdims=True)  # (1, B)
-        s_safe = jnp.where(s > 0.0, s, 1.0)
-        alpha_new = raw / s_safe
-        c_new = c_base + jnp.log(s_safe) + m_t
+            new = rest()
 
         t = tb * k_block + k
-        keep = lens > t  # (1, B)
+        keep = lens > jnp.float32(1.0) * t  # (1, B)
         if k == 0:
             # frame 0 always initializes the carry, even for (invalid)
             # zero-length rows — garbage must never leak into the lattice
             keep = keep | (tb == 0)
-        alpha_ref[:] = jnp.where(keep, alpha_new, alpha_ref[:])
-        c_ref[:] = jnp.where(keep, c_new, c_ref[:])
-
-        a_cur = alpha_ref[:]
-        la_ref[k] = jnp.where(
-            a_cur > 0.0,
-            jnp.log(jnp.maximum(a_cur, _TINY)) + c_ref[:],
-            NEG_INF,
-        )
+        la_carry_ref[:] = jnp.where(keep, new, la_carry_ref[:])
+        la_ref[k] = la_carry_ref[:]
 
 
-@partial(jax.jit, static_argnames=("k_block", "interpret"))
+@partial(jax.jit, static_argnames=("k_block", "band", "interpret"))
 def emit_forward_pallas(
     feats_tdb: jax.Array,
     a_ms: jax.Array,
@@ -170,13 +250,16 @@ def emit_forward_pallas(
     trans: jax.Array,
     lengths: jax.Array,
     k_block: int = 16,
+    band: int | None = None,
     interpret: bool | None = None,
 ):
     """feats (T, D, B) + packed constants -> (log_b, log_alpha), both
     (T, S, B) float32 with lattice rows at t >= length repeating the last
     valid row (the train/em.py convention).
 
-    trans: (S, S) LINEAR transition probabilities.  T % k_block == 0.
+    trans: (S, S) LINEAR transition probabilities.  band: static band width
+    (trans_band(trans)) for the rolled banded update; None = dense.
+    T % k_block == 0.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -186,18 +269,37 @@ def emit_forward_pallas(
     assert twoD == 2 * D and T % k_block == 0, (a_ms.shape, T, k_block)
     M = MS // S
     lens = lengths.astype(jnp.float32).reshape(1, B)
-    trans_t = trans.astype(jnp.float32).T
+    lt_lin = trans.astype(jnp.float32)
+    lt_log = jnp.where(
+        lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
+    ).astype(jnp.float32)
+    nbands = (band + 1) if band is not None else 1
+    # diag_cols[d][j] = lt_log[j-d, j]
+    j = jnp.arange(S)
+    diag = jnp.stack(
+        [
+            jnp.where(
+                (j - d >= 0)[:, None],
+                lt_log[jnp.maximum(j - d, 0), j][:, None],
+                NEG_INF,
+            ).astype(jnp.float32)
+            for d in range(nbands)
+        ],
+        axis=0,
+    )  # (nbands, S, 1)
 
     grid = (T // k_block,)
     zero2 = lambda t: (0 * t, 0 * t)
+    zero3 = lambda t: (0 * t, 0 * t, 0 * t)
     return pl.pallas_call(
-        partial(_emit_fwd_kernel, M, k_block),
+        partial(_emit_fwd_kernel, M, k_block, band),
         grid=grid,
         in_specs=[
             pl.BlockSpec((k_block, D, B), lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, twoD), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbands, S, 1), zero3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -210,109 +312,109 @@ def emit_forward_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((S, B), jnp.float32),
-            pltpu.VMEM((1, B), jnp.float32),
         ],
         interpret=interpret,
-    )(feats_tdb.astype(jnp.float32), a_ms, bias_ms, trans_t, lens)
+    )(feats_tdb.astype(jnp.float32), a_ms, bias_ms, lt_log, diag, lens)
 
 
 def _bwd_stats_kernel(
-    n_mix, k_block,
-    feats_ref, lb_ref, la_ref, lt_lin_ref, lt_log_ref,
+    n_mix, k_block, band,
+    feats_ref, lb_ref, la_ref, lt_log_ref, diag_ref,
     a_ref, bias_ref, len_ref, z_ref, vmask_ref,
-    xi_ref, den_trans_ref, den_mix_ref, mom_ref,
-    beta_ref, cb_ref, lbb_ref,
+    uv_ref, den_trans_ref, den_mix_ref, mom_ref,
+    lbw_ref, lbb_ref,
 ):
-    """One DESCENDING time block: scaled backward + every E-step statistic.
+    """One DESCENDING time block: log-domain backward + every statistic.
 
     Block tb covers lattice rows [t_lo, t_lo + k_block) with
     t_lo = (nb-1-tb) * k_block; frames iterate k = k_block-1 .. 0.
 
-    Scratches: beta_ref (S, B) scaled backward variable, cb_ref (1, B) its
-    log-scale, lbb_ref (S, B) the log_b row one past the block top (saved by
-    the previous grid step = later time block), used as log_b[t+1] for the
-    block's last row.
-    Outputs (accumulated across the grid): xi (S, S, B), den_trans (S, B),
-    den_mix (S, B), mom (M*S, 2D+1) = [sum gm x, sum gm x^2, sum gm].
+    Scratches: lbw_ref (S, B) log-beta carry; lbb_ref (S, B) the log_b row
+    one past the block top (saved by the previous grid step = later time
+    block), used as log_b[t+1] for the block's last row.
+    Outputs (accumulated across the grid): uv (S, S) = sum_{t,b} u v^T with
+    u_i = exp(la[t,i] - c_t), v_j = exp(log_b[t+1,j] + log_beta[t+1,j] -
+    (z - c_t)) and c_t the per-lane forward max — so that
+    num_trans = trans * uv (the U/V factorization of the banded xi,
+    T1:1609-1647; contracting B on the MXU per frame keeps every
+    intermediate 2-D — an (S, S, B) xi tensor blows both Mosaic compile
+    time and register pressure); den_trans / den_mix (S, B);
+    mom (M*S, 2D+1) = [sum gm x, sum gm x^2, sum gm].
+
+    v is clamped at exp(30): mathematically v <= 1/min_trans wherever the
+    corresponding trans entry is nonzero (u attains 1 at the argmax state),
+    so the clamp only touches (i, j) pairs whose trans weight is ~0 and
+    keeps the B-contraction finite.
     """
     tb = pl.program_id(0)
     nb = pl.num_programs(0)
     MS = a_ref.shape[0]
-    S = lt_lin_ref.shape[0]
-    B = beta_ref.shape[1]
+    S = lt_log_ref.shape[0]
+    B = lbw_ref.shape[1]
     D = feats_ref.shape[1]
     lens = len_ref[:]  # (1, B)
     z = z_ref[:]  # (1, B) safe final log-prob
     vmask = vmask_ref[:]  # (1, B) 1.0 for valid utterances
     t_lo = (nb - 1 - tb) * k_block
-
-    beta_init = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1, 1.0, 0.0
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    zero = jnp.float32(0.0)
+    v_cap = jnp.float32(30.0)
+    diag_rows = (
+        [diag_ref[d] for d in range(band + 1)] if band is not None else None
     )
 
-    acc_xi = jnp.zeros((S, S, B), jnp.float32)
+    lbw_init = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1, zero, neg
+    )
+
+    acc_uv = jnp.zeros((S, S), jnp.float32)
     acc_dt = jnp.zeros((S, B), jnp.float32)
     acc_dm = jnp.zeros((S, B), jnp.float32)
     acc_mom = jnp.zeros((MS, 2 * D + 1), jnp.float32)
 
     for k in range(k_block - 1, -1, -1):  # static unroll, reverse time
         t = t_lo + k
+        tf = jnp.float32(1.0) * t
         la_t = la_ref[k]  # (S, B)
         if k == k_block - 1:
             # log_b[t+1] saved by the later block.  On the very first grid
             # step (t = T-1) lbb holds garbage, but every use is masked:
             # t < len-1 is impossible at t = T-1, and the backward update
-            # discards `raw` in favor of the final-state init there.
+            # discards the recursion in favor of the final-state init there.
             lbn = lbb_ref[:]
         else:
             lbn = lb_ref[k + 1]
 
-        # ---- backward carry BEFORE update = state at t+1 ----
-        lbw_next = jnp.where(
-            beta_ref[:] > 0.0,
-            jnp.log(jnp.maximum(beta_ref[:], _TINY)) + cb_ref[:],
-            NEG_INF,
-        )
+        lbw_next = lbw_ref[:]  # log-beta at t+1 (carry before update)
 
-        # xi(t, i, j) in safe log form (train/em.py banded xi, T1:1609-1647)
-        m_xi = ((lens - 1.0) > t) & (vmask > 0.0)  # (1, B)
-        fwd_in = jnp.maximum(lbn + lbw_next, NEG_INF)  # (S, B)
-        cand = (
-            la_t[:, None, :]
-            + lt_log_ref[:][:, :, None]
-            + fwd_in[None, :, :]
-            - z[None, :, :]
-        )
-        xi = jnp.exp(jnp.minimum(cand, 0.0))
-        xi = jnp.where(m_xi[None, :, :], xi, 0.0)
-        acc_xi = acc_xi + xi
-
-        # ---- backward update to state t ----
-        mn = jnp.maximum(jnp.max(lbn, axis=0, keepdims=True), NEG_INF)
-        b_hat_n = jnp.exp(lbn - mn)  # (S, B) <= 1
-        raw = jnp.dot(
-            lt_lin_ref[:], b_hat_n * beta_ref[:],
+        # xi via the U/V factorization (docstring): one (S,B)x(S,B)->(S,S)
+        # MXU contraction over B per frame instead of an (S,S,B) tensor
+        m_xi = ((lens - jnp.float32(1.0)) > tf) & (vmask > zero)  # (1, B)
+        c_t = jnp.maximum(jnp.max(la_t, axis=0, keepdims=True), neg)  # (1,B)
+        u = jnp.exp(la_t - c_t)  # (S, B) <= 1
+        u = jnp.where(m_xi, u, zero)
+        lv = jnp.maximum(lbn + lbw_next, neg) - (z - c_t)
+        # v must be masked too: masked lanes can hold NaN (garbage lbn on
+        # the first grid step) and 0 * NaN = NaN inside the contraction
+        v = jnp.where(m_xi, jnp.exp(jnp.minimum(lv, v_cap)), zero)  # (S, B)
+        acc_uv = acc_uv + jax.lax.dot_general(
+            u, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        s = jnp.sum(raw, axis=0, keepdims=True)
-        s_safe = jnp.where(s > 0.0, s, 1.0)
-        active = (lens - 1.0) > t  # t < len-1: recursion; else init row
-        beta_ref[:] = jnp.where(active, raw / s_safe, beta_init)
-        cb_ref[:] = jnp.where(
-            active, cb_ref[:] + mn + jnp.log(s_safe), jnp.zeros((1, B), jnp.float32)
-        )
+        )  # (S, S)
+
+        # ---- backward update to state t (log domain) ----
+        inner = jnp.maximum(lbn + lbw_next, neg)
+        upd = _bwd_update(inner, lt_log_ref[:], diag_rows, band, neg, tiny)
+        active = (lens - jnp.float32(1.0)) > tf  # t < len-1; else init row
+        lbw_ref[:] = jnp.where(active, upd, lbw_init)
 
         # ---- gamma(t) and GMM moment statistics ----
-        lbw_t = jnp.where(
-            beta_ref[:] > 0.0,
-            jnp.log(jnp.maximum(beta_ref[:], _TINY)) + cb_ref[:],
-            NEG_INF,
-        )
-        m_g = (lens > t) & (vmask > 0.0)  # (1, B)
-        gamma = jnp.exp(jnp.minimum(la_t + lbw_t - z, 0.0))
-        gamma = jnp.where(m_g, gamma, 0.0)
+        m_g = (lens > tf) & (vmask > zero)  # (1, B)
+        gamma = jnp.exp(jnp.minimum(la_t + lbw_ref[:] - z, zero))
+        gamma = jnp.where(m_g, gamma, zero)
         acc_dm = acc_dm + gamma
-        acc_dt = acc_dt + jnp.where(m_xi, gamma, 0.0)
+        acc_dt = acc_dt + jnp.where(m_xi, gamma, zero)
 
         x = feats_ref[k]  # (D, B)
         lift = jnp.concatenate([x, x * x], axis=0)  # (2D, B)
@@ -324,8 +426,8 @@ def _bwd_stats_kernel(
         gm_rows = []
         for m in range(n_mix):
             qm = q[m * S : (m + 1) * S]
-            post = jnp.exp(jnp.minimum(qm - lb_t, 0.0))
-            post = jnp.where(lb_t > NEG_INF / 2, post, 0.0)
+            post = jnp.exp(jnp.minimum(qm - lb_t, zero))
+            post = jnp.where(lb_t > jnp.float32(NEG_INF / 2), post, zero)
             gm_rows.append(gamma * post)
         gm = jnp.concatenate(gm_rows, axis=0)  # (M*S, B)
         lift19 = jnp.concatenate([lift, jnp.ones((1, B), jnp.float32)], axis=0)
@@ -341,20 +443,20 @@ def _bwd_stats_kernel(
 
     @pl.when(first)
     def _():
-        xi_ref[:] = acc_xi
+        uv_ref[:] = acc_uv
         den_trans_ref[:] = acc_dt
         den_mix_ref[:] = acc_dm
         mom_ref[:] = acc_mom
 
     @pl.when(jnp.logical_not(first))
     def _():
-        xi_ref[:] += acc_xi
+        uv_ref[:] += acc_uv
         den_trans_ref[:] += acc_dt
         den_mix_ref[:] += acc_dm
         mom_ref[:] += acc_mom
 
 
-@partial(jax.jit, static_argnames=("k_block", "interpret"))
+@partial(jax.jit, static_argnames=("k_block", "band", "interpret"))
 def backward_stats_pallas(
     feats_tdb: jax.Array,
     log_b: jax.Array,
@@ -366,16 +468,19 @@ def backward_stats_pallas(
     safe_z: jax.Array,
     vmask: jax.Array,
     k_block: int = 16,
+    band: int | None = None,
     interpret: bool | None = None,
 ):
-    """Fused scaled-backward + statistics pass.
+    """Fused log-domain backward + statistics pass.
 
     feats_tdb (T, D, B); log_b / log_alpha (T, S, B) from
     emit_forward_pallas; trans (S, S) linear; safe_z (B,) per-utterance
-    final log-prob (0 where invalid); vmask (B,) 1.0/0.0 validity.
+    final log-prob (0 where invalid); vmask (B,) 1.0/0.0 validity;
+    band: static band width (trans_band) or None for dense.
 
-    Returns (xi (S, S, B), den_trans (S, B), den_mix (S, B),
-    mom (M*S, 2D+1)); reduce over B (and reorder moments) in XLA.
+    Returns (uv (S, S) — num_trans is trans * uv —, den_trans (S, B),
+    den_mix (S, B), mom (M*S, 2D+1)); reduce over B (and reorder moments)
+    in XLA.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -390,21 +495,35 @@ def backward_stats_pallas(
     lt_lin = trans.astype(jnp.float32)
     lt_log = jnp.where(
         lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
-    )
+    ).astype(jnp.float32)
+    nbands = (band + 1) if band is not None else 1
+    # diag_rows[d][i] = lt_log[i, i+d]
+    i = jnp.arange(S)
+    diag = jnp.stack(
+        [
+            jnp.where(
+                (i + d < S)[:, None],
+                lt_log[i, jnp.minimum(i + d, S - 1)][:, None],
+                NEG_INF,
+            ).astype(jnp.float32)
+            for d in range(nbands)
+        ],
+        axis=0,
+    )  # (nbands, S, 1)
 
     nb = T // k_block
     rev = lambda t: (nb - 1 - t, 0 * t, 0 * t)
     zero2 = lambda t: (0 * t, 0 * t)
     zero3 = lambda t: (0 * t, 0 * t, 0 * t)
     return pl.pallas_call(
-        partial(_bwd_stats_kernel, M, k_block),
+        partial(_bwd_stats_kernel, M, k_block, band),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((k_block, D, B), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((k_block, S, B), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((k_block, S, B), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbands, S, 1), zero3, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, twoD), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
@@ -412,24 +531,23 @@ def backward_stats_pallas(
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((S, S, B), zero3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, 2 * D + 1), zero2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, S, B), jnp.float32),
+            jax.ShapeDtypeStruct((S, S), jnp.float32),
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((MS, 2 * D + 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, B), jnp.float32),
-            pltpu.VMEM((1, B), jnp.float32),
             pltpu.VMEM((S, B), jnp.float32),
         ],
         interpret=interpret,
     )(
         feats_tdb.astype(jnp.float32),
-        log_b, log_alpha, lt_lin, lt_log, a_ms, bias_ms, lens, zr, vm,
+        log_b, log_alpha, lt_log, diag, a_ms, bias_ms, lens, zr, vm,
     )

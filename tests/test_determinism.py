@@ -20,7 +20,7 @@ from srhmm_tpu.parallel import make_mesh, replicate, shard_batch, shard_model
 from srhmm_tpu.train.em import em_step, train_fast
 
 
-def _toy(S=4, M=3, D=8, seed=0, dtype=jnp.float32):
+def _toy(S=4, M=4, D=8, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     means = rng.normal(size=(S, M, D)) * 2.0
     var = rng.uniform(0.5, 1.5, size=(S, M, D))

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from srhmm_tpu.models import DIAG, GmmStream, init_left_right_trans
+from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans
 from srhmm_tpu.ops import log_forward, log_state_emission, score_final_state, score_total, viterbi
 from srhmm_tpu.ops.pallas import (
     backtrace,
@@ -265,3 +265,90 @@ def test_emission_stats_kernel_zero_likelihood_state():
         frames, gamma, log_b, a, b, t_block=8, interpret=True
     )
     assert np.all(np.asarray(out) == 0.0)
+
+
+@pytest.mark.parametrize("band", [None, 1])
+def test_fused_lane_e_step_matches_xla(band):
+    """The lane-major fused E-step (ops/pallas/fused_em_pallas.py) must
+    reproduce every statistic of train.em.e_step to f32 roundoff, for both
+    the dense and the banded (rolled-diagonal) recursions, including padded
+    and zero-length utterances."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.train.em import e_step, e_step_fused_lane
+
+    S, M, D = 5, 3, 7
+    rng = np.random.default_rng(0)
+    means = rng.normal(size=(S, M, D)) * 2.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(jnp.float32)
+    utts = [rng.normal(size=(20 + 3 * i, D)) for i in range(12)]
+    batch = pack_utterances(utts, pad_multiple=16, pad_batch_to=14, dtype=jnp.float32)
+
+    ref = e_step(model, batch)
+    got = e_step_fused_lane(model, batch, k_block=8, band=band, interpret=True)
+    for name in ["num_trans", "den_trans", "den_mix", "log_prob", "num_valid"]:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * max(np.abs(a).max(), 1.0))
+    for name in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[0], name))
+        b = np.asarray(getattr(got.streams[0], name))
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * np.abs(a).max())
+
+
+def test_trans_band():
+    from srhmm_tpu.ops.pallas.fused_em_pallas import trans_band
+
+    assert trans_band(init_left_right_trans(6, delta=1)) == 1
+    assert trans_band(init_left_right_trans(6, delta=2)) == 2
+    full = np.ones((4, 4)) / 4.0
+    assert trans_band(full) is None or trans_band(full) == 3
+    lower = np.eye(4) * 0.5
+    lower[2, 0] = 0.5
+    assert trans_band(lower) is None
+
+
+def test_fused_lane_em_step_improves_likelihood():
+    """A few fused-lane EM iterations must behave like EM: monotone
+    non-decreasing total log-likelihood (same m_step as the XLA path)."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.train.em import e_step_fused_lane, m_step
+
+    S, M, D = 4, 2, 5
+    rng = np.random.default_rng(3)
+    means = rng.normal(size=(S, M, D)) * 2.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(jnp.float32)
+    utts = [rng.normal(size=(24 + i, D)) + 2.0 for i in range(6)]
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+    lps = []
+    for _ in range(4):
+        st = e_step_fused_lane(model, batch, k_block=8, band=1, interpret=True)
+        lps.append(float(st.log_prob))
+        model = m_step(model, st)
+    assert all(lps[i + 1] >= lps[i] - 1e-2 for i in range(len(lps) - 1)), lps
