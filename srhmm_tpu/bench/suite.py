@@ -101,37 +101,48 @@ def config2(rng):
             "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
 
 
-def config3(rng):
-    """Continuous strings: composed 10-word loop, token-passing decode RTF."""
+def _decode_rtf(rng, W, S, M, D, T, n=20):
+    """Continuous-decode RTF for a W-word loop (block token passing)."""
     import jax
     import jax.numpy as jnp
 
-    from ..decode.continuous import compose_word_loop, composed_emissions, token_passing
+    from ..decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        token_passing_blocks,
+    )
     from ..models import stack_models
 
-    W, S, M, D, T = 10, 8, 4, 13, 1000
     vocab = stack_models(
         [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
     )
-    graph = compose_word_loop(vocab)
+    graph = compose_word_loop_blocks(vocab)
     frames = jnp.asarray(rng.normal(size=(T, D)), jnp.float32)
 
     def decode(frames):
         log_b = composed_emissions(vocab, frames)
-        return token_passing(graph, log_b, n_best=1)
+        return token_passing_blocks(graph, log_b, n_best=1)
 
     jitted = jax.jit(decode)
     out = jitted(frames)
     float(np.asarray(out[0])[0, 0])
     t0 = time.perf_counter()
-    n = 20
     for _ in range(n):
         out = jitted(frames)
     float(np.asarray(out[0])[0, 0])  # forced fetch: see _time_em note
-    dt = (time.perf_counter() - t0) / n
-    rtf = dt / (T * FRAME_SHIFT_S)
-    return {"config": 3, "metric": "decode_rtf", "value": round(rtf, 6),
-            "audio_s_per_s": round(1.0 / rtf, 1)}
+    return (time.perf_counter() - t0) / n / (T * FRAME_SHIFT_S)
+
+
+def config3(rng):
+    """Continuous strings: composed word-loop token-passing decode RTF at
+    W=10 (BASELINE config) and W=200 (the block engine's sub-quadratic
+    per-frame cost makes large loops practical)."""
+    rtf10 = _decode_rtf(rng, W=10, S=8, M=4, D=13, T=1000)
+    rtf200 = _decode_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
+    return {"config": 3, "metric": "decode_rtf", "value": round(rtf10, 6),
+            "audio_s_per_s": round(1.0 / rtf10, 1),
+            "decode_rtf_w200": round(rtf200, 6),
+            "w200_audio_s_per_s": round(1.0 / rtf200, 1)}
 
 
 def config4(rng):

@@ -25,7 +25,7 @@ tests/test_em_fast.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -560,6 +560,72 @@ def e_step_fused_lane(
         log_prob=jnp.sum(safe_z),
         num_valid=vmask.sum(),
     )
+
+
+def e_step_fused_lane_sharded(
+    model: GmmHmm,
+    batch: UtteranceBatch,
+    mesh,
+    axis: str = "data",
+    k_block: int = 32,
+    band: int | None = None,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Data-parallel fused E-step: each device runs the lane-major Pallas
+    kernels on its local batch shard, statistics psum over `axis` (the EM
+    stats are linear in the data, SURVEY §2.4 DP row).  This is how the
+    fused kernels scale to a pod: GSPMD cannot partition pallas_call, so
+    the partitioning is explicit shard_map + ICI all-reduce.
+
+    The batch axis must divide the mesh axis; model is replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if band is None:
+        band = _trans_band_host(model.trans)
+    feats = jax.device_put(
+        batch.features, NamedSharding(mesh, P(axis, None, None))
+    )
+    lengths = jax.device_put(batch.lengths, NamedSharding(mesh, P(axis)))
+    treedef = jax.tree.structure(model)
+    fn = _jitted_fused_shard(mesh, axis, k_block, band, interpret, treedef)
+    return fn(model, feats, lengths)
+
+
+def _trans_band_host(trans):
+    from ..ops.pallas.fused_em_pallas import trans_band
+
+    return trans_band(trans)
+
+
+@lru_cache(maxsize=32)
+def _jitted_fused_shard(mesh, axis, k_block, band, interpret, model_treedef):
+    """Cached jitted shard_map fused E-step (one trace per mesh/config —
+    same policy as parallel/sequence.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
+
+    def shard_fn(model, feats, lengths):
+        local = UtteranceBatch(features=feats, lengths=lengths)
+        st = e_step_fused_lane(
+            model, local, k_block=k_block, band=band, interpret=interpret
+        )
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), st)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_spec, P(axis, None, None), P(axis)),
+        out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # psum above establishes the replicated out_specs by construction
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 _m_step_jit = jax.jit(m_step, static_argnames=("var_floor",))

@@ -73,3 +73,28 @@ def test_sharded_scoring_matches():
     sh_vocab = replicate(vocab, mesh)
     got = np.asarray(score_batch_log(sh_vocab, sh_batch))
     np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_fused_lane_sharded_matches_single_device():
+    """The explicit shard_map + psum composition of the fused lane-major
+    Pallas E-step (GSPMD cannot partition pallas_call) must match the
+    unsharded XLA e_step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from srhmm_tpu.train.em import e_step, e_step_fused_lane_sharded
+
+    model, batch = _toy()
+    model = model.astype(jnp.float32)
+    batch = batch.replace(features=batch.features.astype(jnp.float32))
+    mesh = make_mesh(n_data=8, n_model=1)
+    ref = e_step(model, batch)
+    got = e_step_fused_lane_sharded(model, batch, mesh, k_block=8)
+    for name in ["num_trans", "den_trans", "den_mix", "log_prob", "num_valid"]:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        np.testing.assert_allclose(
+            b, a, rtol=2e-3, atol=2e-4 * max(np.abs(a).max(), 1.0)
+        )
+    for name in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[0], name))
+        b = np.asarray(getattr(got.streams[0], name))
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * np.abs(a).max())
