@@ -10,13 +10,13 @@ toolchain, unlike the equivalent XLA scan, which hangs compilation).
 Outputs are (T, S, B) lattices; gamma/xi/moment statistics are GEMM-shaped
 contractions left to XLA downstream.
 
-STATUS (hardware-measured, v5e via the axon remote toolchain): compiles in
-~5 min, results bit-identical to the XLA scan — but ~30x SLOWER at
-(B=2048, T=512, S=8): the per-grid-step (1, S, B) block DMA + small VPU body
-is latency-bound and the pipeline does not hide it.  Kept as experimental
-groundwork (the lane-major XLA scan variant hangs compilation outright);
-production EM uses the vmapped scan path.  Revisit with time-blocked grids
-(k frames per step) on a newer toolchain.
+STATUS: SUPERSEDED by ops/pallas/fused_em_pallas.py — the time-blocked,
+banded, log-domain kernels that fuse emission/forward and
+backward/statistics and beat the XLA path 3.2x at the headline shape
+(PERF.md).  The per-frame-grid kernels here are kept as the documented
+first iteration: (1, S, B) blocks are DMA-latency-bound (~30x slower at
+B=2048, T=512, S=8) and the unblocked kernels compile in ~5 min.  The
+blocked variants below informed the final design.
 """
 
 from __future__ import annotations

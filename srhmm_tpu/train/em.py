@@ -395,14 +395,11 @@ def e_step_fused(
       log-likelihood in VMEM and accumulates the [x, x^2, 1] moments
       in-register, reading frames/gamma/log_b once.
 
-    Numerically equivalent to e_step in f32 (test-locked).  Hardware verdict
-    on the current axon/Mosaic toolchain (v5e, headline shape B=2048, T=500,
-    S=8, M=3): 13.8 ms/iter vs the XLA path's 6.5 ms, with a pathological
-    ~5 min first compile — the ~500 MB of (B, T, S, M) HBM round-trips this
-    path eliminates are outweighed by per-grid-step kernel overhead (~13 us
-    x 1000 steps) and 8/128-lane GEMM utilization.  Kept as an opt-in
-    experimental path (em_step(fused=True)); revisit when the toolchain's
-    grid overhead drops or for M*S large enough to fill the lane axis.
+    SUPERSEDED by e_step_fused_lane (the lane-major kernels that DO win,
+    PERF.md); kept as the documented first iteration.  Hardware verdict
+    (v5e, headline shape): 13.8 ms/iter vs the XLA path's 6.5 ms — the
+    (B, T, S, M) HBM savings were outweighed by per-grid-step overhead and
+    8/128-lane utilization.  em_step no longer routes here.
     """
     stream = model.streams[0]
     if len(model.streams) != 1 or stream.cov_type != DIAG:
@@ -855,12 +852,11 @@ def e_step_lane_major(
     the batch on the lane axis.  Numerically equivalent to e_step
     (test-locked).
 
-    lattices="scan": XLA (T, S, B) lattice scans — these currently hang XLA
-    compilation on the axon remote toolchain (>9 min at T=500, B=2048), so
-    em_step keeps the vmapped path as the default.
-    lattices="pallas": the time-blocked Pallas lattice kernels
-    (ops/pallas/lattice_pallas.py), which DO compile and run on the current
-    toolchain — f32, TPU-targeted (interpret-mode elsewhere)."""
+    SUPERSEDED by e_step_fused_lane; kept as the documented intermediate
+    experiment (XLA lane-major is transpose-bound and its (T, S, B) scan
+    hangs XLA compilation on this toolchain — PERF.md).
+    lattices="scan": XLA (T, S, B) lattice scans; lattices="pallas": the
+    time-blocked Pallas lattice kernels (ops/pallas/lattice_pallas.py)."""
     feats = batch.features  # (B, T, D)
     lengths = batch.lengths
     B, T, D = feats.shape
