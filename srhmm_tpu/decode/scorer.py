@@ -98,6 +98,39 @@ def score_batch_log(
     )(batch.features, batch.lengths)
 
 
+def score_batch(
+    vocab: GmmHmm,
+    batch,
+    mode: str = TOTAL,
+    final_states: jax.Array | None = None,
+    impl: str | None = None,
+) -> jax.Array:
+    """Batch scoring dispatcher: the fused lane-major Pallas scoring kernel
+    (ops/pallas/scoring_pallas.py — one kernel for ALL utterances x ALL
+    words, features read once) on TPU for single-stream diagonal f32
+    vocabularies; score_batch_log otherwise.  impl: None=auto,
+    "fused"/"xla" to force."""
+    eligible = (
+        final_states is None
+        and len(vocab.streams) == 1
+        and vocab.streams[0].cov_type == "diag"
+        and getattr(batch.features, "dtype", None) == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+    if eligible:
+        try:
+            if len(batch.features.sharding.device_set) > 1:
+                eligible = False
+        except Exception:
+            eligible = False
+    use_fused = eligible if impl is None else (impl == "fused")
+    if use_fused:
+        from ..ops.pallas.scoring_pallas import score_batch_fused_lane
+
+        return score_batch_fused_lane(vocab, batch, mode=mode, interpret=False)
+    return score_batch_log(vocab, batch, mode=mode, final_states=final_states)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def score_vocab_parity(
     vocab: GmmHmm,

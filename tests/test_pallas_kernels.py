@@ -352,3 +352,117 @@ def test_fused_lane_em_step_improves_likelihood():
         lps.append(float(st.log_prob))
         model = m_step(model, st)
     assert all(lps[i + 1] >= lps[i] - 1e-2 for i in range(len(lps) - 1)), lps
+
+
+@pytest.mark.parametrize("mode", ["total", "final"])
+def test_fused_vocab_scoring_lane_matches_xla(mode):
+    """The lane-major fused scoring kernel (ops/pallas/scoring_pallas.py)
+    must reproduce score_batch_log for every (utterance, word) pair,
+    including padded rows, across word blockings; the max semiring must
+    upper-bound... equal the Viterbi best-path score (checked against
+    ops.viterbi)."""
+    from srhmm_tpu.decode.scorer import score_batch_log
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+    rng = np.random.default_rng(0)
+    S, M, D = 5, 2, 6
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        var = r.uniform(0.5, 1.5, size=(S, M, D))
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        from srhmm_tpu.models import GmmHmm
+
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([mk(i) for i in range(6)]).astype(jnp.float32)
+    utts = [rng.normal(size=(20 + 3 * i, D)) for i in range(8)]
+    batch = pack_utterances(utts, pad_multiple=16, dtype=jnp.float32)
+
+    ref = np.asarray(score_batch_log(vocab, batch, mode=mode))
+    for wb in (None, 2):
+        got = np.asarray(
+            score_batch_fused_lane(
+                vocab, batch, mode=mode, w_block=wb, k_block=8, interpret=True
+            )
+        )
+        finite = np.isfinite(ref)
+        assert (np.isfinite(got) == finite).all()
+        np.testing.assert_allclose(
+            got[finite], ref[finite], rtol=1e-5,
+            atol=1e-5 * np.abs(ref[finite]).max(),
+        )
+
+    # max semiring == Viterbi best-path score
+    from srhmm_tpu.ops import viterbi
+
+    got_v = np.asarray(
+        score_batch_fused_lane(
+            vocab, batch, mode="final", semiring="max", k_block=8, interpret=True
+        )
+    )
+    for b in (0, 3):
+        frames = jnp.asarray(utts[b], jnp.float32)
+        for wi in (0, 4):
+            one = jax.tree.map(lambda x: x[wi], vocab)
+            lb = log_state_emission(frames, one.streams)
+            score, path = viterbi(lb, one.log_trans())
+            np.testing.assert_allclose(got_v[b, wi], float(score), rtol=1e-5)
+
+
+def test_score_batch_dispatcher_cpu_falls_back():
+    """score_batch auto-dispatch: off-TPU it must route to score_batch_log
+    (fused impl unavailable/ineligible) and forcing impl='fused' in
+    interpret mode still matches."""
+    from srhmm_tpu.decode.scorer import score_batch, score_batch_log
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import GmmHmm, stack_models
+
+    rng = np.random.default_rng(1)
+    S, M, D = 4, 2, 5
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        var = r.uniform(0.5, 1.5, size=(S, M, D))
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([mk(i) for i in range(4)]).astype(jnp.float32)
+    batch = pack_utterances(
+        [rng.normal(size=(18 + i, D)) for i in range(5)],
+        pad_multiple=8,
+        dtype=jnp.float32,
+    )
+    auto = np.asarray(score_batch(vocab, batch))
+    ref = np.asarray(score_batch_log(vocab, batch))
+    np.testing.assert_array_equal(auto, ref)  # CPU: identical objects/path
