@@ -64,14 +64,18 @@ def make_dataset(seed=0):
 
 def bench_ours(utts) -> float:
     """Seconds per EM iteration (steady state), per OUR_B-utterance batch,
-    on the production em_step (fused lane-major Pallas E-step on TPU)."""
+    on the production training path: em_train_scan — N iterations of the
+    fused lane-major Pallas E-step + M-step as ONE jitted lax.scan program
+    (per-iteration program launches and host syncs are pure overhead at a
+    fixed iteration budget; the reference's convergence rule needs a host
+    check per iteration and train_fast still provides it)."""
     import jax
     import jax.numpy as jnp
 
     from srhmm_tpu.init.lbg import create_initial_model
     from srhmm_tpu.io.dataset import pack_utterances
     from srhmm_tpu.ops.pallas.fused_em_pallas import trans_band
-    from srhmm_tpu.train.em import em_step
+    from srhmm_tpu.train.em import em_train_scan
 
     model = create_initial_model([utts], S, [M], cov_type="diag").astype(
         jnp.float32
@@ -83,18 +87,19 @@ def bench_ours(utts) -> float:
     band = trans_band(model.trans)
     feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
 
-    step = lambda m: em_step(m, batch, feats_tdb=feats_tdb, band=band)
-    new_model, lp, nv = step(model)  # compile + warm
-    float(lp)  # NOTE: block_until_ready does not synchronize on this
-    model = new_model  # environment's TPU backend; a scalar fetch does
-
     n_iter = 20
+    final, lps, nvs = em_train_scan(model, batch, n_iter, feats_tdb, band=band)
+    float(lps[-1])  # NOTE: block_until_ready does not synchronize on this
+    # environment's TPU backend; a scalar fetch does
+    reps_outer = 3
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        model, lp, nv = step(model)
-    last = float(lp)  # forces completion of the whole chained sequence
-    dt = (time.perf_counter() - t0) / n_iter
-    assert float(nv) == OUR_B, f"invalid utterances in bench: {float(nv)}"
+    for _ in range(reps_outer):
+        final, lps, nvs = em_train_scan(model, batch, n_iter, feats_tdb, band=band)
+    last = float(lps[-1])  # forces completion of the chained sequence
+    dt = (time.perf_counter() - t0) / (reps_outer * n_iter)
+    import numpy as np
+
+    assert (np.asarray(nvs) == OUR_B).all(), "invalid utterances in bench"
     return dt
 
 

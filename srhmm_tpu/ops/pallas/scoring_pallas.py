@@ -259,6 +259,12 @@ def score_batch_fused_lane(
         # larger blocks inflate Mosaic compile time and VMEM pressure
         target = max(1, 512 // (S * max(M, 1)))
         w_block = max(d for d in range(1, W + 1) if W % d == 0 and d <= target)
+    # Mosaic compile time scales with the statically-unrolled op count
+    # ~ k_block * Nb * M; cap it near the measured-fast regime (~2.5k)
+    while k_block > 8 and k_block * w_block * S * max(M, 1) > 4096:
+        k_block //= 2
+    while T % k_block:
+        k_block //= 2
     a, bias, diag, band = pack_vocab_constants(vocab, jnp.float32)
     feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     la = vocab_scores_pallas(

@@ -727,6 +727,42 @@ def em_step_time_sharded(model, batch, mesh, var_floor: float = 0.0, axis="time"
     return new_model, stats.log_prob, stats.num_valid
 
 
+@partial(
+    jax.jit, static_argnames=("n_iters", "var_floor", "fused", "band", "k_block")
+)
+def em_train_scan(
+    model: GmmHmm,
+    batch: UtteranceBatch,
+    n_iters: int,
+    feats_tdb=None,
+    var_floor: float = 0.0,
+    fused: bool = True,
+    band: int | None = None,
+    k_block: int = 32,
+):
+    """N EM iterations as ONE jitted lax.scan — no per-iteration program
+    launches or host syncs (the reference's convergence check forces a host
+    round-trip per iteration; production training at a fixed iteration
+    budget doesn't need it).  Returns (final model, (n_iters,) log-prob
+    history, (n_iters,) num_valid history).
+
+    fused=True runs the lane-major Pallas E-step (TPU; pass feats_tdb and
+    band precomputed); False the XLA path (any backend/model)."""
+
+    def step(m, _):
+        if fused:
+            st = e_step_fused_lane(
+                m, batch, feats_tdb, k_block=k_block, band=band, interpret=False
+            )
+        else:
+            st = e_step(m, batch)
+        new = m_step(m, st, var_floor=var_floor)
+        return new, (st.log_prob, st.num_valid)
+
+    final, (lps, nvs) = jax.lax.scan(step, model, None, length=n_iters)
+    return final, lps, nvs
+
+
 def train_fast(
     model: GmmHmm,
     batch: UtteranceBatch,

@@ -361,3 +361,45 @@ def test_bf16_stats_full_cov():
     m16, lp16, _ = em_step(model, batch, bf16_stats=True)
     assert np.isfinite(float(lp16))
     assert np.isfinite(np.asarray(m16.streams[0].log_det)).all()
+
+
+def test_em_train_scan_matches_loop():
+    """em_train_scan (N iterations in one jitted lax.scan, no per-iteration
+    host syncs) must follow the same trajectory as the em_step loop."""
+    import jax
+
+    from srhmm_tpu.train.em import em_step, em_train_scan
+
+    S, M, D = 4, 2, 5
+    rng = np.random.default_rng(0)
+    means = rng.normal(size=(S, M, D)) * 2.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(jnp.float32)
+    utts = [rng.normal(size=(24 + i, D)) for i in range(8)]
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    m = model
+    lps_loop = []
+    for _ in range(4):
+        m, lp, nv = em_step(m, batch, fused=False)
+        lps_loop.append(float(lp))
+    final, lps, nvs = em_train_scan(model, batch, 4, fused=False)
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_loop), rtol=1e-5)
+    assert (np.asarray(nvs) == batch.batch_size).all()
+    for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(m)):
+        aa, bb = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        # f32 fusion-order differences between scanned and unscanned programs
+        assert np.max(np.abs(aa - bb)) <= 1e-4 * max(1.0, np.abs(bb).max())
