@@ -159,6 +159,75 @@ def bench_decode_rtf() -> float:
     return dt / (Td * FRAME_SHIFT_S)
 
 
+def bench_recognition() -> float:
+    """Batch isolated-word recognition throughput (audio-s scored per
+    second): 13-word reference-scale vocabulary, every utterance scored
+    against every word on the fused lane-major scoring kernel
+    (ops/pallas/scoring_pallas.py).  The C recognizer scores one utterance
+    against the 13 models in 0.03 s (hmm-result.txt:182) = ~47 audio-s/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
+    from srhmm_tpu.ops.pallas.scoring_pallas import (
+        NEG_INF,
+        pack_vocab_constants,
+        vocab_scores_pallas,
+    )
+
+    W, Sr, Dr, Br, Tr = 13, 6, 9, 2048, 500
+    rng = np.random.default_rng(2)
+
+    def one(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(Sr, 1, Dr)) * 4.0
+        var = r.uniform(0.5, 1.5, size=(Sr, 1, Dr))
+        return GmmHmm(
+            trans=init_left_right_trans(Sr),
+            streams=(
+                GmmStream(
+                    weights=jnp.ones((Sr, 1)),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([one(i) for i in range(W)]).astype(jnp.float32)
+    batch = pack_utterances(
+        [rng.normal(size=(Tr, Dr)) for _ in range(64)] * (Br // 64),
+        pad_multiple=128,
+        dtype=jnp.float32,
+    )
+    a_c, bias_c, diag_c, band = pack_vocab_constants(vocab, jnp.float32)
+
+    @jax.jit
+    def score(feats, lengths):
+        f_tdb = jnp.transpose(feats, (1, 2, 0))
+        la = vocab_scores_pallas(
+            f_tdb, a_c, bias_c, diag_c, lengths, s_word=Sr, band=band,
+            k_block=32, semiring="sum", interpret=False,
+        ).reshape(W, Sr, -1)
+        sc = jax.nn.logsumexp(jnp.maximum(la, NEG_INF), axis=1)
+        best = jnp.argmax(sc, axis=0)  # recognized word per utterance
+        return jnp.sum(best) + jnp.sum(jnp.where(sc > NEG_INF / 2, sc, 0.0))
+
+    out = score(batch.features, batch.lengths)
+    float(out)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = score(batch.features, batch.lengths)
+    float(out)
+    dt = (time.perf_counter() - t0) / n
+    return Br * Tr * FRAME_SHIFT_S / dt
+
+
 def bench_reference(utts) -> float | None:
     """Seconds per EM iteration of the reference C diag trainer; None if the
     reference isn't available.  Includes its per-iteration disk re-reads —
@@ -231,6 +300,26 @@ def main():
                 print(json.dumps({"config": c, "error": str(e)[:120]}), flush=True)
     except Exception as e:  # pragma: no cover
         print(json.dumps({"suite_error": str(e)[:120]}), flush=True)
+
+    try:
+        rec = bench_recognition()
+        print(
+            json.dumps(
+                {
+                    "metric": "batch_recognition_audio_s_per_sec",
+                    "value": round(rec, 1),
+                    "unit": "audio_s/s",
+                    # C: 13-model score+rank in 0.03 s per 1.42 s utterance
+                    "vs_baseline": round(rec / (1.42 / 0.03), 1),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # pragma: no cover
+        print(
+            json.dumps({"metric": "batch_recognition", "error": str(e)[:120]}),
+            flush=True,
+        )
 
     rtf = None
     try:

@@ -59,16 +59,23 @@ def _rand_model(rng, S, M, D, dtype):
 
 
 def _time_em(model, batch, iters=10, var_floor=0.0):
+    """Steady-state seconds/EM-iteration, per-call em_step loop on the XLA
+    path.  Deliberately NOT the fused/scanned production trainer: away from
+    the production shapes this toolchain's compiles are pathological (the
+    fused kernels stall minutes at S=5/D=13; an XLA scan-of-scans program
+    also compiles for minutes), and the headline bench.py already measures
+    the production path at its shape.  Suite configs compare workloads
+    under one robust compilation regime."""
     import jax
 
     from ..train.em import em_step
 
-    new_model, lp, nv = em_step(model, batch, var_floor)
+    new_model, lp, nv = em_step(model, batch, var_floor, fused=False)
     float(lp)  # scalar fetch: block_until_ready does not sync on this backend
     model = new_model
     t0 = time.perf_counter()
     for _ in range(iters):
-        model, lp, nv = em_step(model, batch, var_floor)
+        model, lp, nv = em_step(model, batch, var_floor, fused=False)
     float(lp)
     return (time.perf_counter() - t0) / iters
 
@@ -81,7 +88,11 @@ def config1(rng):
 
     S, M, D, B, T = 5, 1, 13, 64, 300
     model = _rand_model(rng, S, M, D, jnp.float32)
-    batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
+    # pad the batch axis to a full 128-lane tile: zero-length rows are
+    # inert, and partial lane tiles stall the Mosaic compiler (~8 min)
+    batch = pack_utterances(
+        _synth_utts(rng, B, T, D, S), pad_batch_to=128, dtype=jnp.float32
+    )
     dt = _time_em(model, batch)
     return {"config": 1, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1)}

@@ -115,6 +115,7 @@ def score_batch(
         and len(vocab.streams) == 1
         and vocab.streams[0].cov_type == "diag"
         and getattr(batch.features, "dtype", None) == jnp.float32
+        and batch.features.shape[0] % 128 == 0  # partial lane tiles stall Mosaic
         and jax.default_backend() == "tpu"
     )
     if eligible:

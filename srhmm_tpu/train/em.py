@@ -5,14 +5,21 @@ Redesign of the reference EM loop (T1:223-346) for TPU execution:
 * whole utterance batch resident on device as a padded (B, T, D) array —
   no per-utterance disk re-reads (the reference re-reads every .perfil twice
   per iteration, T1:259/287);
-* emission + occupancy statistics are batched GEMM-shaped contractions that
-  map onto the MXU; forward/backward are `lax.scan` recursions in log space
-  (no scaling factors — the scaled-recursion equivalent is the parity path);
-* sufficient statistics are linear in the data, so data parallelism is a sum
-  over the batch axis: under jit with the batch sharded over a `data` mesh
-  axis and replicated outputs, XLA inserts the ICI all-reduce (the psum of
-  SURVEY §2.4) automatically.  Mixture-sharded model parallelism shards the
-  M axis of the stream parameters over a `model` axis (parallel/mesh.py).
+* TWO E-step implementations behind the `em_step` dispatcher:
+  - the fused lane-major Pallas kernels (`e_step_fused_lane`,
+    ops/pallas/fused_em_pallas.py) — the production TPU path for
+    single-stream diagonal models (4.2x the XLA path at the headline
+    shape; PERF.md), scaled to meshes by `e_step_fused_lane_sharded`
+    (explicit shard_map + psum);
+  - the generic XLA path (`e_step`): emission + occupancy statistics as
+    GEMM-shaped contractions on the MXU, forward/backward as log-space
+    `lax.scan` recursions — full covariance, multi-stream, CPU, and
+    GSPMD-sharded inputs (batch on a `data` mesh axis, mixtures on a
+    `model` axis; XLA inserts the ICI all-reduces).
+* `em_train_scan` runs N iterations as ONE jitted lax.scan (no
+  per-iteration program launches/host syncs — the production fixed-budget
+  trainer); `train_fast` keeps the reference's per-iteration convergence
+  rule (T1:306-346).
 * covariance statistics accumulate raw moments (sum gamma, sum gamma x,
   sum gamma x x^T) and the M-step recovers the reference's
   residual-about-PRE-update-means covariance (T1:1744-1750) through the
@@ -20,7 +27,7 @@ Redesign of the reference EM loop (T1:223-346) for TPU execution:
   keeping the E-step free of (T, S, M, D, D) intermediates.
 
 Validated against train/em_parity.py (the reference-exact oracle) in
-tests/test_em_fast.py.
+tests/test_em_fast.py; Pallas/XLA equivalence in tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations
@@ -658,12 +665,16 @@ def _em_step_fused_lane(
 
 def _fused_lane_eligible(model: GmmHmm, batch, bf16_stats: bool) -> bool:
     """The fused lane-major Pallas E-step handles: single diagonal-covariance
-    stream, f32 batch, unsharded (single-device) placement, TPU backend."""
+    stream, f32 batch with a full-lane batch axis (B % 128 == 0 — partial
+    lane tiles stall the Mosaic compiler), unsharded placement, TPU
+    backend."""
     if bf16_stats or isinstance(batch, tuple):
         return False
     if len(model.streams) != 1 or model.streams[0].cov_type != DIAG:
         return False
     if batch.features.dtype != jnp.float32:
+        return False
+    if batch.features.shape[0] % 128 != 0:
         return False
     if jax.default_backend() != "tpu":
         return False
