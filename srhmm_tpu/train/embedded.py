@@ -70,19 +70,35 @@ def utterance_stats_positional(
     T = feats.shape[0]
     dtype = feats.dtype
 
-    # per-unit emissions and posteriors, computed once per unit
-    def unit_em(m: GmmHmm):
-        lbs, posts = [], []
-        for stream in m.streams:
-            lb, post = log_mixture_posteriors(feats, stream)
-            lbs.append(lb)
-            posts.append(post)
-        return sum(lbs[1:], lbs[0]), posts
+    # Gather the (L, S) per-position GMM parameters into a flat (L*S,) bank
+    # and compute emissions/posteriors on that bank only.  Computing
+    # emissions for ALL P units and gathering afterwards (the round-1
+    # design) materializes (B, P, T, S, M) posteriors under the batch vmap
+    # — 4 GB and 43 of the 66 ms/iter at the config-4 shape; the gathered
+    # bank is (B, T, L*S, M) and scales with the transcript, not the
+    # inventory (same structure as train/tied.py).
+    def gather_stream(stream):
+        return stream.replace(
+            weights=stream.weights[transcript].reshape(L * S, -1),
+            means=stream.means[transcript].reshape(L * S, *stream.means.shape[2:]),
+            inv_cov=stream.inv_cov[transcript].reshape(
+                L * S, *stream.inv_cov.shape[2:]
+            ),
+            det=stream.det[transcript].reshape(L * S, -1),
+            log_det=(
+                None
+                if stream.log_det is None
+                else stream.log_det[transcript].reshape(L * S, -1)
+            ),
+        )
 
-    unit_lb, unit_posts = jax.vmap(unit_em)(models)  # (P, T, S), [(P, T, S, M)]
-
-    lb_pos = jnp.transpose(unit_lb, (1, 0, 2))[:, transcript]  # (T, L, S)
-    log_b = lb_pos.reshape(T, L * S)
+    pos_lbs, pos_posts = [], []
+    for stream in models.streams:
+        lb, post = log_mixture_posteriors(feats, gather_stream(stream))
+        pos_lbs.append(lb)  # (T, L*S)
+        pos_posts.append(post)  # (T, L*S, M)
+    log_b = sum(pos_lbs[1:], pos_lbs[0])  # (T, L*S)
+    lb_pos = log_b.reshape(T, L, S)
 
     unit_logt = models.log_trans().astype(dtype)  # (P, S, S)
     pos_logt = unit_logt[transcript]  # (L, S, S)
@@ -121,7 +137,7 @@ def utterance_stats_positional(
 
     stream_stats = []
     for si, stream in enumerate(models.streams):
-        post_pos = jnp.transpose(unit_posts[si], (1, 0, 2, 3))[:, transcript]
+        post_pos = pos_posts[si].reshape(T, L, S, -1)
         gm = gamma[..., None] * post_pos  # (T, L, S, M)
         D = feats.shape[-1]
         ones = jnp.ones_like(feats[:, :1])
