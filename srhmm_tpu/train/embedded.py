@@ -24,13 +24,14 @@ TPU-native design:
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.gmm_hmm import FULL, GmmHmm
+from ..models.gmm_hmm import DIAG, FULL, GmmHmm
 from ..ops.emission import log_mixture_posteriors
 from ..ops.forward_backward import log_backward_full, log_forward_full
 from .em import StreamStats, SuffStats, m_step
@@ -213,6 +214,196 @@ def batch_stats(
     )
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def batch_stats_fused(
+    models: GmmHmm,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Batch embedded E-step on the fused composed-lattice Pallas kernels
+    (ops/pallas/composed_pallas.py) — single diagonal-covariance stream,
+    LEFT-RIGHT (upper-triangular) unit transitions.
+
+    Equivalent to `batch_stats` (test-locked); none of the XLA path's
+    (B, T, L, S, M) per-mixture tensors ever reach HBM.  The composed
+    chain is banded with band <= S-1 (see composed_pallas.py), so the
+    per-lane lattice recursions run over S rolled diagonals.
+    """
+    from ..ops.pallas.composed_pallas import (
+        NEG_INF,
+        composed_backward_stats_pallas,
+        composed_forward_pallas,
+        pos_emission_pallas,
+        pos_moments_pallas,
+    )
+
+    stream = models.streams[0]
+    if len(models.streams) != 1 or stream.cov_type != DIAG:
+        raise ValueError("batch_stats_fused: single diagonal-covariance stream only")
+    P = models.trans.shape[0]
+    S = models.trans.shape[-1]
+    B, L = transcripts.shape
+    T = feats.shape[1]
+    D = feats.shape[-1]
+    M = stream.num_mixtures
+    LS = L * S
+    band = max(S - 1, 1)  # chain arc is flattened distance 1
+    dtype = jnp.float32
+
+    B_pad = _round_up(B, 128)
+    T_pad = _round_up(_round_up(T, k_block), 128)
+    LS_pad = _round_up(LS, 8)
+    feats = jnp.pad(
+        feats.astype(dtype), ((0, B_pad - B), (0, T_pad - T), (0, 0))
+    )
+    lengths = jnp.pad(lengths, (0, B_pad - B))
+    tr_pad = jnp.pad(transcripts, ((0, B_pad - B), (0, 0)))
+
+    # --- per-position m-major GEMM constants (B, M*LS, 2D) -----------------
+    mu = stream.means.astype(jnp.float64)  # (P, S, M, D)
+    kk = stream.inv_cov.astype(jnp.float64)
+    w = stream.weights.astype(jnp.float64)
+    log_det = stream.log_abs_det().astype(jnp.float64)  # (P, S, M)
+    a_u = jnp.concatenate([mu * kk, -0.5 * kk], axis=-1)  # (P, S, M, 2D)
+    bias_u = (
+        -0.5 * jnp.sum(mu * mu * kk, axis=-1)
+        + jnp.log(jnp.maximum(w, 1e-300))
+        - 0.5 * (D * math.log(2.0 * math.pi) + log_det)
+    )  # (P, S, M)
+    bias_u = jnp.maximum(bias_u, NEG_INF)
+    a_pos = (
+        a_u.astype(dtype)[tr_pad]  # (B, L, S, M, 2D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B_pad, M * LS, 2 * D)
+    )
+    bias_pos = (
+        bias_u.astype(dtype)[tr_pad]
+        .transpose(0, 3, 1, 2)
+        .reshape(B_pad, M * LS, 1)
+    )
+
+    # --- emissions (lane axis = time) --------------------------------------
+    feats_bdt = jnp.transpose(feats, (0, 2, 1))  # (B, D, T)
+    log_b_bst = pos_emission_pallas(
+        a_pos, bias_pos, feats_bdt, n_mix=M, group=group, interpret=interpret
+    )  # (B, LS, T)
+
+    # --- per-lane composed banded transition diagonals ---------------------
+    pos_logt = models.log_trans().astype(dtype)[tr_pad]  # (B, L, S, S)
+    s_idx = jnp.arange(S)
+    diags = []
+    for d in range(band + 1):
+        within = jnp.where(
+            (s_idx + d < S)[None, None, :],
+            pos_logt[:, :, s_idx, jnp.minimum(s_idx + d, S - 1)],
+            -jnp.inf,
+        )  # (B, L, S)
+        if d == 1 and L > 1:
+            # chain arc: exit of unit l -> entry of unit l+1 carries the
+            # exit self-loop mass (_composed_log_trans)
+            chain = pos_logt[:, :, S - 1, S - 1]  # (B, L)
+            within = within.at[:, :-1, S - 1].set(chain[:, :-1])
+        diags.append(within.reshape(B_pad, LS))
+    diag_row = jnp.stack(diags, 0)  # (band+1, B, LS): row form lt[i, i+d]
+    diag_row = jnp.pad(
+        jnp.transpose(diag_row, (0, 2, 1)),
+        ((0, 0), (0, LS_pad - LS), (0, 0)),
+        constant_values=-jnp.inf,
+    )  # (band+1, LS_pad, B)
+    neg = jnp.float32(NEG_INF)
+    diag_row = jnp.maximum(diag_row, neg)
+    # column form: diag_col[d, j] = lt[j-d, j] = diag_row[d, j-d]
+    diag_col = jnp.stack(
+        [
+            jnp.pad(
+                diag_row[d, : LS_pad - d], ((d, 0), (0, 0)), constant_values=NEG_INF
+            )
+            for d in range(band + 1)
+        ],
+        0,
+    )
+
+    # --- lattices (lane axis = batch) --------------------------------------
+    log_b_tsb = jnp.pad(
+        jnp.transpose(log_b_bst, (2, 1, 0)),
+        ((0, 0), (0, LS_pad - LS), (0, 0)),
+        constant_values=NEG_INF,
+    )  # (T, LS_pad, B)
+    la = composed_forward_pallas(
+        log_b_tsb, diag_col, lengths, k_block=k_block, band=band,
+        interpret=interpret,
+    )
+    log_z = la[-1, LS - 1, :]  # (B,) — rows repeat past each length
+    valid = jnp.isfinite(log_z) & (log_z > NEG_INF / 2) & (lengths > 0)
+    vmask = valid.astype(dtype)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    gamma_tsb, xi_diag, den_trans_sb, den_mix_sb = composed_backward_stats_pallas(
+        log_b_tsb, la, diag_row, lengths, safe_z, vmask,
+        final=LS - 1, k_block=k_block, band=band, interpret=interpret,
+    )
+
+    # --- moments (lane axis = time) ----------------------------------------
+    gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
+    mom = pos_moments_pallas(
+        a_pos, bias_pos, feats_bdt, log_b_bst, gamma_bst,
+        n_mix=M, group=group, interpret=interpret,
+    )  # (B, M*LS, 2D+1)
+
+    # --- scatter everything back to unit space -----------------------------
+    ids = tr_pad.reshape(B_pad * L)
+
+    def seg(a):  # (B, L, ...) -> (P, ...)
+        return jnp.zeros((P,) + a.shape[2:], dtype).at[ids].add(
+            a.reshape(B_pad * L, *a.shape[2:])
+        )
+
+    mom = (
+        mom.reshape(B_pad, M, L, S, 2 * D + 1)
+        .transpose(0, 2, 3, 1, 4)  # (B, L, S, M, 2D+1)
+    )
+    x = seg(mom[..., :D])
+    xx = seg(mom[..., D : 2 * D])
+    sw = seg(mom[..., 2 * D])
+
+    den_mix = seg(
+        jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)
+    )
+    den_trans = seg(
+        jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)
+    )
+
+    xi_bls = jnp.transpose(xi_diag[:, :LS, :], (2, 0, 1)).reshape(
+        B_pad, band + 1, L, S
+    )
+    nt = jnp.zeros((B_pad, L, S, S), dtype)
+    for d in range(band + 1):
+        s_in = jnp.arange(S - d)
+        nt = nt.at[:, :, s_in, s_in + d].add(xi_bls[:, d, :, : S - d])
+    if L > 1:
+        # the d=1 diagonal at each unit's exit row is the CHAIN arc flow;
+        # reference semantics fold it into the exit self-loop
+        # (train/embedded.batch_stats; R-chain in _composed_log_trans)
+        nt = nt.at[:, :-1, S - 1, S - 1].add(xi_bls[:, 1, :-1, S - 1])
+    num_trans = seg(nt)
+
+    return SuffStats(
+        num_trans=num_trans,
+        den_trans=den_trans,
+        den_mix=den_mix,
+        streams=(StreamStats(w=sw, x=x, xx=xx),),
+        log_prob=jnp.sum(safe_z * vmask),
+        num_valid=vmask.sum(),
+    )
+
+
 def utterance_stats(
     models: GmmHmm, transcript: jax.Array, feats: jax.Array, length: jax.Array
 ) -> SuffStats:
@@ -226,21 +417,36 @@ def utterance_stats(
     )
 
 
-@partial(jax.jit, static_argnames=("var_floor",))
+@partial(jax.jit, static_argnames=("var_floor", "fused"))
 def embedded_em_step(
     models: GmmHmm,
     transcripts: jax.Array,
     feats: jax.Array,
     lengths: jax.Array,
     var_floor: float = 0.0,
+    fused: bool | None = None,
 ):
     """One embedded EM iteration over a bucket of utterances with equal
     padded shapes.  transcripts: (B, L) unit ids (pad positions by repeating
     the last unit and masking via lengths is NOT needed — transcripts must be
     exact; bucket utterances by transcript length); feats: (B, T, D).
     Returns (new models (P-stacked), total log prob, num valid).
+
+    fused=None auto-selects the fused composed-lattice Pallas E-step
+    (batch_stats_fused) on TPU for single-stream diagonal models with
+    left-right transitions (the reference structure); fused=False forces
+    the XLA path (required for full covariance, multi-stream, or
+    non-left-right unit graphs).
     """
-    stats = batch_stats(models, transcripts, feats, lengths)
+    if fused is None:
+        fused = (
+            len(models.streams) == 1
+            and models.streams[0].cov_type == DIAG
+            and jax.default_backend() == "tpu"
+        )
+    stats = (batch_stats_fused if fused else batch_stats)(
+        models, transcripts, feats, lengths
+    )
     new_models = jax.vmap(lambda m, s: m_step(m, s, var_floor=var_floor))(
         models, _unstack_stats_axis(stats)
     )

@@ -119,3 +119,69 @@ def test_embedded_gamma_mass_conservation(setup):
     # total occupancy = num frames
     total = float(sum(np.asarray(s.w).sum() for s in stats.streams))
     np.testing.assert_allclose(total, len(utts[0]), rtol=1e-6)
+
+
+def _stats_close(ref, got, rtol):
+    for name in ["num_trans", "den_trans", "den_mix"]:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=rtol * max(1.0, np.abs(a).max()))
+    np.testing.assert_allclose(
+        float(got.log_prob), float(ref.log_prob), rtol=1e-5
+    )
+    assert float(got.num_valid) == float(ref.num_valid)
+    for f in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[0], f))
+        b = np.asarray(getattr(got.streams[0], f))
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=rtol * max(1.0, np.abs(a).max()))
+
+
+@pytest.mark.parametrize("S,M,L,delta", [(3, 2, 3, 1), (4, 1, 2, 2), (2, 3, 5, 1)])
+def test_batch_stats_fused_matches_xla(S, M, L, delta):
+    """The fused composed-lattice Pallas E-step (interpret mode on CPU)
+    reproduces batch_stats across state counts, mixture counts, transcript
+    lengths, band widths, and ragged lengths (incl. padding lanes)."""
+    from srhmm_tpu.train.embedded import batch_stats, batch_stats_fused
+
+    P, D, B, T = 5, 4, 4, 32
+    rng = np.random.default_rng(S * 100 + M * 10 + L)
+    units = []
+    for i in range(P):
+        u = _unit(i, S=S, M=M, D=D)
+        units.append(u.replace(trans=init_left_right_trans(S, delta=delta)))
+    models = stack_models(units).astype(jnp.float32)
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 13, max(L * S, 3), T - 1], jnp.int32)
+
+    ref = batch_stats(models, transcripts, feats, lengths)
+    got = batch_stats_fused(models, transcripts, feats, lengths, k_block=8)
+    _stats_close(ref, got, rtol=5e-4)
+
+
+def test_embedded_em_step_fused_trains_identically():
+    """embedded_em_step(fused=True) and the XLA path produce matching
+    models after two EM iterations."""
+    from srhmm_tpu.train.embedded import embedded_em_step
+
+    P, S, M, D, B, T, L = 4, 3, 2, 5, 3, 24, 3
+    rng = np.random.default_rng(7)
+    models = stack_models([_unit(i, S=S, M=M, D=D) for i in range(P)]).astype(
+        jnp.float32
+    )
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 5, T - 2], jnp.int32)
+
+    mf, mx = models, models
+    for _ in range(2):
+        mf, lpf, _ = embedded_em_step(mf, transcripts, feats, lengths, fused=True)
+        mx, lpx, _ = embedded_em_step(mx, transcripts, feats, lengths, fused=False)
+    np.testing.assert_allclose(float(lpf), float(lpx), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mf.trans), np.asarray(mx.trans), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf.streams[0].means),
+        np.asarray(mx.streams[0].means),
+        rtol=1e-3, atol=1e-3,
+    )
