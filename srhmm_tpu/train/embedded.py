@@ -218,23 +218,32 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def batch_stats_fused(
-    models: GmmHmm,
-    transcripts: jax.Array,
+def fused_positional_stats(
+    a_pos: jax.Array,
+    bias_pos: jax.Array,
+    pos_logt: jax.Array,
     feats: jax.Array,
     lengths: jax.Array,
+    n_mix: int,
     k_block: int = 16,
     group: int = 8,
     interpret: bool | None = None,
-) -> SuffStats:
-    """Batch embedded E-step on the fused composed-lattice Pallas kernels
-    (ops/pallas/composed_pallas.py) — single diagonal-covariance stream,
-    LEFT-RIGHT (upper-triangular) unit transitions.
+):
+    """Shared fused composed-lattice E-step core (embedded AND tied paths).
 
-    Equivalent to `batch_stats` (test-locked); none of the XLA path's
-    (B, T, L, S, M) per-mixture tensors ever reach HBM.  The composed
-    chain is banded with band <= S-1 (see composed_pallas.py), so the
-    per-lane lattice recursions run over S rolled diagonals.
+    a_pos (B, M*L*S, 2D) m-major per-position diag-Gaussian GEMM constants;
+    bias_pos (B, M*L*S, 1); pos_logt (B, L, S, S) per-position LEFT-RIGHT
+    unit log-transitions; feats (B, T, D); lengths (B,).
+
+    Runs the four composed_pallas.py kernels (emission, forward,
+    backward+stats, moments) with all padding handled here, and returns
+    POSITION-space statistics (the caller scatters them into unit or
+    senone space):
+      mom      (B, L, S, M, 2D+1)  [sum gm*x | sum gm*x^2 | sum gm]
+      den_mix  (B, L, S)
+      den_trans(B, L, S)
+      num_trans(B, L, S, S)        incl. chain flow folded into exit loops
+      safe_z   (B,), vmask (B,)
     """
     from ..ops.pallas.composed_pallas import (
         NEG_INF,
@@ -244,15 +253,10 @@ def batch_stats_fused(
         pos_moments_pallas,
     )
 
-    stream = models.streams[0]
-    if len(models.streams) != 1 or stream.cov_type != DIAG:
-        raise ValueError("batch_stats_fused: single diagonal-covariance stream only")
-    P = models.trans.shape[0]
-    S = models.trans.shape[-1]
-    B, L = transcripts.shape
+    B, L, S, _ = pos_logt.shape
     T = feats.shape[1]
     D = feats.shape[-1]
-    M = stream.num_mixtures
+    M = n_mix
     LS = L * S
     band = max(S - 1, 1)  # chain arc is flattened distance 1
     dtype = jnp.float32
@@ -264,29 +268,12 @@ def batch_stats_fused(
         feats.astype(dtype), ((0, B_pad - B), (0, T_pad - T), (0, 0))
     )
     lengths = jnp.pad(lengths, (0, B_pad - B))
-    tr_pad = jnp.pad(transcripts, ((0, B_pad - B), (0, 0)))
-
-    # --- per-position m-major GEMM constants (B, M*LS, 2D) -----------------
-    mu = stream.means.astype(jnp.float64)  # (P, S, M, D)
-    kk = stream.inv_cov.astype(jnp.float64)
-    w = stream.weights.astype(jnp.float64)
-    log_det = stream.log_abs_det().astype(jnp.float64)  # (P, S, M)
-    a_u = jnp.concatenate([mu * kk, -0.5 * kk], axis=-1)  # (P, S, M, 2D)
-    bias_u = (
-        -0.5 * jnp.sum(mu * mu * kk, axis=-1)
-        + jnp.log(jnp.maximum(w, 1e-300))
-        - 0.5 * (D * math.log(2.0 * math.pi) + log_det)
-    )  # (P, S, M)
-    bias_u = jnp.maximum(bias_u, NEG_INF)
-    a_pos = (
-        a_u.astype(dtype)[tr_pad]  # (B, L, S, M, 2D)
-        .transpose(0, 3, 1, 2, 4)
-        .reshape(B_pad, M * LS, 2 * D)
+    a_pos = jnp.pad(a_pos.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0)))
+    bias_pos = jnp.pad(
+        bias_pos.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0))
     )
-    bias_pos = (
-        bias_u.astype(dtype)[tr_pad]
-        .transpose(0, 3, 1, 2)
-        .reshape(B_pad, M * LS, 1)
+    pos_logt = jnp.pad(
+        pos_logt.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0), (0, 0))
     )
 
     # --- emissions (lane axis = time) --------------------------------------
@@ -296,7 +283,6 @@ def batch_stats_fused(
     )  # (B, LS, T)
 
     # --- per-lane composed banded transition diagonals ---------------------
-    pos_logt = models.log_trans().astype(dtype)[tr_pad]  # (B, L, S, S)
     s_idx = jnp.arange(S)
     diags = []
     for d in range(band + 1):
@@ -357,28 +343,12 @@ def batch_stats_fused(
         n_mix=M, group=group, interpret=interpret,
     )  # (B, M*LS, 2D+1)
 
-    # --- scatter everything back to unit space -----------------------------
-    ids = tr_pad.reshape(B_pad * L)
-
-    def seg(a):  # (B, L, ...) -> (P, ...)
-        return jnp.zeros((P,) + a.shape[2:], dtype).at[ids].add(
-            a.reshape(B_pad * L, *a.shape[2:])
-        )
-
     mom = (
         mom.reshape(B_pad, M, L, S, 2 * D + 1)
-        .transpose(0, 2, 3, 1, 4)  # (B, L, S, M, 2D+1)
+        .transpose(0, 2, 3, 1, 4)[:B]  # (B, L, S, M, 2D+1)
     )
-    x = seg(mom[..., :D])
-    xx = seg(mom[..., D : 2 * D])
-    sw = seg(mom[..., 2 * D])
-
-    den_mix = seg(
-        jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)
-    )
-    den_trans = seg(
-        jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)
-    )
+    den_mix = jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
+    den_trans = jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
 
     xi_bls = jnp.transpose(xi_diag[:, :LS, :], (2, 0, 1)).reshape(
         B_pad, band + 1, L, S
@@ -392,13 +362,97 @@ def batch_stats_fused(
         # reference semantics fold it into the exit self-loop
         # (train/embedded.batch_stats; R-chain in _composed_log_trans)
         nt = nt.at[:, :-1, S - 1, S - 1].add(xi_bls[:, 1, :-1, S - 1])
-    num_trans = seg(nt)
+    return mom, den_mix, den_trans, nt[:B], safe_z[:B], vmask[:B]
+
+
+def pack_position_bank(means, inv_cov, weights, log_abs_det, D):
+    """Diag-Gaussian lifted-GEMM constants for a parameter bank with an
+    arbitrary leading index shape: means/inv_cov (..., M, D), weights /
+    log_abs_det (..., M).  Returns (a (..., M, 2D), bias (..., M)) such
+    that  a . [x; x^2] + bias  is the weighted per-mixture log-likelihood
+    (pack_lane_constants semantics, ops/pallas/fused_em_pallas.py)."""
+    mu = means.astype(jnp.float64)
+    kk = inv_cov.astype(jnp.float64)
+    w = weights.astype(jnp.float64)
+    from ..ops.pallas.composed_pallas import NEG_INF
+
+    a = jnp.concatenate([mu * kk, -0.5 * kk], axis=-1)
+    bias = (
+        -0.5 * jnp.sum(mu * mu * kk, axis=-1)
+        + jnp.log(jnp.maximum(w, 1e-300))
+        - 0.5 * (D * math.log(2.0 * math.pi) + log_abs_det.astype(jnp.float64))
+    )
+    return a, jnp.maximum(bias, NEG_INF)
+
+
+def batch_stats_fused(
+    models: GmmHmm,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Batch embedded E-step on the fused composed-lattice Pallas kernels
+    (ops/pallas/composed_pallas.py) — single diagonal-covariance stream,
+    LEFT-RIGHT (upper-triangular) unit transitions.
+
+    Equivalent to `batch_stats` (test-locked); none of the XLA path's
+    (B, T, L, S, M) per-mixture tensors ever reach HBM.  The composed
+    chain is banded with band <= S-1 (see composed_pallas.py), so the
+    per-lane lattice recursions run over S rolled diagonals.
+    """
+    stream = models.streams[0]
+    if len(models.streams) != 1 or stream.cov_type != DIAG:
+        raise ValueError("batch_stats_fused: single diagonal-covariance stream only")
+    P = models.trans.shape[0]
+    S = models.trans.shape[-1]
+    B, L = transcripts.shape
+    D = feats.shape[-1]
+    M = stream.num_mixtures
+    LS = L * S
+    dtype = jnp.float32
+
+    a_u, bias_u = pack_position_bank(
+        stream.means, stream.inv_cov, stream.weights, stream.log_abs_det(), D
+    )  # (P, S, M, 2D) / (P, S, M)
+    a_pos = (
+        a_u.astype(dtype)[transcripts]  # (B, L, S, M, 2D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B, M * LS, 2 * D)
+    )
+    bias_pos = (
+        bias_u.astype(dtype)[transcripts]
+        .transpose(0, 3, 1, 2)
+        .reshape(B, M * LS, 1)
+    )
+    pos_logt = models.log_trans().astype(dtype)[transcripts]  # (B, L, S, S)
+
+    mom, den_mix_p, den_trans_p, nt, safe_z, vmask = fused_positional_stats(
+        a_pos, bias_pos, pos_logt, feats, lengths, n_mix=M,
+        k_block=k_block, group=group, interpret=interpret,
+    )
+
+    # --- scatter everything back to unit space -----------------------------
+    ids = transcripts.reshape(B * L)
+
+    def seg(a):  # (B, L, ...) -> (P, ...)
+        return jnp.zeros((P,) + a.shape[2:], dtype).at[ids].add(
+            a.reshape(B * L, *a.shape[2:])
+        )
 
     return SuffStats(
-        num_trans=num_trans,
-        den_trans=den_trans,
-        den_mix=den_mix,
-        streams=(StreamStats(w=sw, x=x, xx=xx),),
+        num_trans=seg(nt),
+        den_trans=seg(den_trans_p),
+        den_mix=seg(den_mix_p),
+        streams=(
+            StreamStats(
+                w=seg(mom[..., 2 * D]),
+                x=seg(mom[..., :D]),
+                xx=seg(mom[..., D : 2 * D]),
+            ),
+        ),
         log_prob=jnp.sum(safe_z * vmask),
         num_valid=vmask.sum(),
     )

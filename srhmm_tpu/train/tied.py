@@ -173,19 +173,97 @@ def tied_batch_stats(
     return sen_stats, den_mix, num_trans, den_trans, log_prob.sum(), valid.sum()
 
 
-@partial(jax.jit, static_argnames=("var_floor",))
+def tied_batch_stats_fused(
+    tied: TiedHmmSet,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+):
+    """tied_batch_stats on the fused composed-lattice Pallas kernels
+    (ops/pallas/composed_pallas.py via train/embedded.fused_positional_stats)
+    — diagonal-covariance senones, LEFT-RIGHT unit transitions.
+
+    The per-position parameter bank is gathered from the SENONE inventory
+    through state_map (tying IS the gather), positional statistics come
+    back from the shared fused core, and the scatter into senone space is
+    the same segment-sum as the XLA path.  Same return contract as
+    tied_batch_stats (test-locked equivalent)."""
+    from .embedded import fused_positional_stats, pack_position_bank
+
+    sen = tied.senones
+    if sen.cov_type == FULL:
+        raise ValueError("tied_batch_stats_fused: diagonal senones only")
+    P, S, N = tied.num_units, tied.num_states, tied.num_senones
+    B, L = transcripts.shape
+    D = feats.shape[-1]
+    M = sen.weights.shape[-1]
+    LS = L * S
+    dtype = jnp.float32
+
+    a_sen, bias_sen = pack_position_bank(
+        sen.means, sen.inv_cov, sen.weights, sen.log_abs_det(), D
+    )  # (N, M, 2D) / (N, M)
+    sen_ids = tied.state_map[transcripts]  # (B, L, S)
+    flat_ids = sen_ids.reshape(B, LS)
+    a_pos = (
+        a_sen.astype(dtype)[flat_ids]  # (B, LS, M, 2D)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, M * LS, 2 * D)
+    )
+    bias_pos = (
+        bias_sen.astype(dtype)[flat_ids]
+        .transpose(0, 2, 1)
+        .reshape(B, M * LS, 1)
+    )
+    pos_logt = tied.log_trans().astype(dtype)[transcripts]  # (B, L, S, S)
+
+    mom, den_mix_p, den_trans_p, nt, safe_z, vmask = fused_positional_stats(
+        a_pos, bias_pos, pos_logt, feats, lengths, n_mix=M,
+        k_block=k_block, group=group, interpret=interpret,
+    )
+
+    ids = sen_ids.reshape(B * LS)
+    seg = lambda a: jnp.zeros((N,) + a.shape[3:], dtype).at[ids].add(
+        a.reshape(B * LS, *a.shape[3:])
+    )
+    sen_stats = StreamStats(
+        w=seg(mom[..., 2 * D]), x=seg(mom[..., :D]), xx=seg(mom[..., D : 2 * D])
+    )
+    den_mix = jnp.zeros((N,), dtype).at[ids].add(den_mix_p.reshape(B * LS))
+
+    unit_ids = transcripts.reshape(B * L)
+    num_trans = jnp.zeros((P, S, S), dtype).at[unit_ids].add(
+        nt.reshape(B * L, S, S)
+    )
+    den_trans = jnp.zeros((P, S), dtype).at[unit_ids].add(
+        den_trans_p.reshape(B * L, S)
+    )
+    return sen_stats, den_mix, num_trans, den_trans, jnp.sum(safe_z * vmask), vmask.sum()
+
+
+@partial(jax.jit, static_argnames=("var_floor", "fused"))
 def tied_em_step(
     tied: TiedHmmSet,
     transcripts: jax.Array,
     feats: jax.Array,
     lengths: jax.Array,
     var_floor: float = 0.0,
+    fused: bool | None = None,
 ):
     """One tied-state embedded EM iteration over an equal-shape bucket.
-    Returns (new TiedHmmSet, total log prob, num valid)."""
-    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = tied_batch_stats(
-        tied, transcripts, feats, lengths
-    )
+    Returns (new TiedHmmSet, total log prob, num valid).
+
+    fused=None auto-selects the fused composed-lattice Pallas E-step on
+    TPU for diagonal senones (left-right unit transitions assumed, the
+    reference structure); fused=False forces the XLA path."""
+    if fused is None:
+        fused = tied.senones.cov_type != FULL and jax.default_backend() == "tpu"
+    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = (
+        tied_batch_stats_fused if fused else tied_batch_stats
+    )(tied, transcripts, feats, lengths)
 
     senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
 

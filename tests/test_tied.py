@@ -151,3 +151,41 @@ def test_tied_em_step_jit(setup):
     # senone weights remain normalized
     w = np.asarray(new_tied.senones.weights)
     np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-6)
+
+
+def test_tied_batch_stats_fused_matches_xla():
+    """The fused composed-lattice tied E-step (interpret mode on CPU)
+    reproduces tied_batch_stats incl. senone-space scatters and ragged
+    lengths."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srhmm_tpu.bench.suite import _rand_model
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.models.tying import tie_from_models
+    from srhmm_tpu.train.tied import tied_batch_stats, tied_batch_stats_fused
+
+    P, S, M, D, B, T, L, N = 6, 3, 2, 5, 4, 32, 3, 10
+    rng = np.random.default_rng(0)
+    units = [
+        _rand_model(np.random.default_rng(100 + i), S, M, D, jnp.float32)
+        .replace(word=f"t{i}")
+        for i in range(P)
+    ]
+    sm = rng.integers(0, N, size=(P, S)).astype(np.int32)
+    sm[:4, :] = np.minimum(np.arange(4 * S).reshape(-1, S), N - 1)
+    tied = tie_from_models(stack_models(units), sm).astype(jnp.float32)
+    tr = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 20, 32, 9], jnp.int32)
+
+    ref = tied_batch_stats(tied, tr, feats, lengths)
+    got = tied_batch_stats_fused(tied, tr, feats, lengths, k_block=8)
+    for f in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref[0], f))
+        b = np.asarray(getattr(got[0], f))
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max()))
+    for i in (1, 2, 3):
+        a, b = np.asarray(ref[i]), np.asarray(got[i])
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max()))
+    np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
+    assert float(got[5]) == float(ref[5])
