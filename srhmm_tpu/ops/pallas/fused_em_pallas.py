@@ -7,8 +7,11 @@ the MXU's N dimension, so the per-frame work is dense instead of using
 
   K1 `emit_forward_pallas`  (grid ascending time blocks):
       feats (T, D, B) -> log_b (T, S, B), log-alpha (T, S, B)
-    Per frame: one (S*M, 2D) x (2D, B) MXU GEMM for all mixture
-    log-likelihoods (lifted-feature formulation, ops/emission.py) and a
+    Per frame: one (S*M, L) x (L, B) MXU GEMM for all mixture
+    log-likelihoods (lifted-feature formulation, ops/emission.py; L = 2D
+    with lift [x; x^2] for diagonal covariance, L = D + D^2 with lift
+    [x; vec(x x^T)] for full covariance — the reference's canonical T1
+    regime rides the exact same kernels, T1:1834-1887) and a
     LOG-DOMAIN forward step.  For banded left-right transitions (the
     reference's structure, T1:772-791) the logsumexp runs over the
     band+1 diagonals via sublane rolls — O(band * S * B) VPU work per
@@ -51,33 +54,122 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.gmm_hmm import GmmStream
+from ...models.gmm_hmm import FULL, GAUS_INF_CLAMP, GmmStream
 
 NEG_INF = -1e30
 _TINY = 1e-38  # smallest f32 normal-ish; log argument guard
+LOG_GAUS_CLAMP = math.log(GAUS_INF_CLAMP)  # calc_gaus 1e20 clamp, T1:1880-1883
 
 
-def pack_lane_constants(stream: GmmStream, dtype=jnp.float32):
+def pack_lane_constants(stream: GmmStream, dtype=jnp.float32, origin=None):
     """Packed per-mixture GEMM constants for the lane-major kernels.
 
-    Returns (a_ms: (M*S, 2D) m-major rows, bias_ms: (M*S, 1)) such that
-    q[m*S+s] = a_ms[m*S+s] @ [x; x^2] + bias gives the weighted per-mixture
-    Gaussian log-likelihood (weights + normalizer folded into the bias, as
-    in emission_pallas._pack_constants)."""
+    Returns (a_ms, bias_g, bias_ms, logw_ms).  logw is separate from bias
+    so the full-cov 1e20 density clamp (calc_gaus, T1:1880-1883) lands
+    between density and weight, as in the reference.
+
+    Diagonal covariance: a_ms (M*S, 2D) m-major rows such that
+    q[m*S+s] = a_ms @ [y; y^2] + bias + logw is the weighted per-mixture
+    Gaussian log-likelihood (normalizer folded into the bias, as in
+    emission_pallas._pack_constants); bias_g is a (1, 1) dummy.
+
+    Full covariance (the reference's canonical T1 regime, T1:1834-1887):
+    the kernels compute the quadratic form through the CHOLESKY factor of
+    the stored inverse covariance, K = L L^T:
+
+        z = G y + bias_g,   quad = sum_d z_d^2 = (y - mu')^T K (y - mu')
+
+    with G (M*S*D, D) stacking row d of L^T for every (s, m) at row
+    d*M*S + m*S + s (d-major, so the per-d partial sums are contiguous
+    (M*S, B) sublane slices) and bias_g = -L^T mu'.  A LIFTED formulation
+    (q linear in [y; vec(y y^T)]) has identical GEMM cost but cancels
+    O(|mu|^2 ||K||)-sized terms to an O(D) result — hardware-measured
+    ~0.03 nats/frame of f32 error on LBG-initialized full-cov models
+    (inverse covariances with large entries), 20x worse statistics than
+    the XLA path.  The sum-of-squares form has NO cancellation: every
+    term is positive and at residual scale.  Degenerate mixtures
+    (log|det| non-finite or a non-PD inverse) get zeroed G rows and a
+    NEG_INF bias, matching the XLA path's -inf likelihood
+    (ops/emission.py log_gauss).
+
+    origin: optional (D,) shift o with y = x - o (kernels subtract it from
+    the features).  Moments accumulated by K2 are then ABOUT o: unshift
+    via sum g x = sum g y + o sum g, etc. (exact in f32)."""
     mu = stream.means.astype(jnp.float64)  # (S, M, D)
+    if origin is not None:
+        mu = mu - jnp.asarray(origin, jnp.float64)
     k = stream.inv_cov.astype(jnp.float64)
     w = stream.weights.astype(jnp.float64)
     log_det = stream.log_abs_det().astype(jnp.float64)
     S, M, D = mu.shape
-    a = jnp.concatenate([mu * k, -0.5 * k], axis=-1)  # (S, M, 2D)
-    a = jnp.transpose(a, (1, 0, 2)).reshape(M * S, 2 * D)  # m-major
-    bias = (
-        -0.5 * jnp.sum(mu * mu * k, axis=-1)
-        + jnp.log(jnp.maximum(w, 1e-300))
-        - 0.5 * (D * math.log(2.0 * math.pi) + log_det)
-    )  # (S, M)
+    norm = -0.5 * (D * math.log(2.0 * math.pi) + log_det)  # (S, M)
+    logw = jnp.log(jnp.maximum(w, 1e-300)).T.reshape(M * S, 1)
+    if stream.cov_type == FULL:
+        chol = jnp.linalg.cholesky(k)  # (S, M, D, D) lower, k = L L^T
+        zmu = jnp.einsum("smed,sme->smd", chol, mu)  # L^T mu' per (s, m)
+        ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1)) & jnp.isfinite(norm)
+        chol = jnp.where(ok[..., None, None], chol, 0.0)
+        zmu = jnp.where(ok[..., None], zmu, 0.0)
+        bias = jnp.where(ok, norm, NEG_INF)
+        # G[d*M*S + m*S + s, e] = chol[s, m, e, d]  (row d of L^T)
+        g = jnp.transpose(chol, (3, 1, 0, 2)).reshape(M * S * D, D)
+        bias_g = -jnp.transpose(zmu, (2, 1, 0)).reshape(M * S * D, 1)
+        a = g
+    else:
+        a = jnp.concatenate([mu * k, -0.5 * k], axis=-1)  # (S, M, 2D)
+        a = jnp.transpose(a, (1, 0, 2)).reshape(M * S, 2 * D)  # m-major
+        bias = -0.5 * jnp.sum(mu * mu * k, axis=-1) + norm
+        bias_g = jnp.zeros((1, 1), jnp.float64)
     bias = bias.T.reshape(M * S, 1)
-    return a.astype(dtype), jnp.maximum(bias, NEG_INF).astype(dtype)
+    return (
+        a.astype(dtype),
+        bias_g.astype(dtype),
+        jnp.maximum(bias, NEG_INF).astype(dtype),
+        jnp.maximum(logw, NEG_INF).astype(dtype),
+    )
+
+
+def _lift(x, full: bool):
+    """Lifted features for the moment GEMMs: [x; x^2] (diag) or
+    [x; vec(x x^T)] (full cov).  x: (D, B); result (2D, B) or (D+D^2, B).
+    The outer product is built as D static row-broadcast multiplies —
+    cheaper for Mosaic than a (D, D, B) reshape across the sublane axis."""
+    if not full:
+        return jnp.concatenate([x, x * x], axis=0)
+    D = x.shape[0]
+    return jnp.concatenate([x] + [x * x[d : d + 1] for d in range(D)], axis=0)
+
+
+def _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, n_states, full):
+    """Per-mixture weighted log-likelihoods q (M*S, B) from centered
+    features x (D, B).
+
+    diag: one (M*S, 2D) x (2D, B) GEMM over the lift [x; x^2].
+    full: the Cholesky z-GEMM (pack_lane_constants) — z = G x + bias_g
+    ((M*S*D, D) x (D, B)), quad = sum over the D d-major (M*S, B) slices
+    of z^2 (all-positive, no cancellation), then the reference's 1e20
+    density clamp BEFORE the mixture weight (calc_gaus T1:1880-1883 ->
+    calc_symbol_probab T1:1791)."""
+    if full:
+        D = x.shape[0]
+        z = (
+            jnp.dot(a_ref[:], x, preferred_element_type=jnp.float32)
+            + bias_g_ref[:]
+        )  # (M*S*D, B)
+        z2 = z * z
+        ms = a_ref.shape[0] // D
+        quad = z2[0:ms]
+        for d in range(1, D):
+            quad = quad + z2[d * ms : (d + 1) * ms]
+        q = jnp.float32(-0.5) * quad + bias_ref[:]
+        q = jnp.minimum(q, jnp.float32(LOG_GAUS_CLAMP))
+    else:
+        lift = jnp.concatenate([x, x * x], axis=0)  # (2D, B)
+        q = (
+            jnp.dot(a_ref[:], lift, preferred_element_type=jnp.float32)
+            + bias_ref[:]
+        )
+    return q + logw_ref[:]
 
 
 def trans_band(trans) -> int | None:
@@ -181,16 +273,22 @@ def _bwd_update(inner, lt_log, diag_rows, band, neg, tiny):
 
 
 def _emit_fwd_kernel(
-    n_mix, k_block, band,
-    feats_ref, a_ref, bias_ref, lt_log_ref, diag_ref, len_ref,
+    n_mix, k_block, band, full,
+    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, o_ref,
+    lt_log_ref, diag_ref, len_ref,
     log_b_ref, la_ref,
     la_carry_ref,
 ):
     """One ascending time block: emission GEMM + log-domain forward.
 
-    feats_ref: (k_block, D, B); a_ref: (M*S, 2D); bias_ref: (M*S, 1);
-    lt_log_ref: (S, S) log transitions; diag_ref: (band+1, S, 1) banded
-    diagonal columns (unused rows when band is None); len_ref: (1, B).
+    feats_ref: (k_block, D, B); a_ref: (M*S, 2D) diag lift rows or
+    (M*S*D, D) full-cov Cholesky rows; bias_g_ref: (M*S*D, 1) full-cov
+    z-offset ((1, 1) dummy for diag); bias_ref / logw_ref: (M*S, 1)
+    (weights separate so the full-cov 1e20 clamp lands between density
+    and weight, matching calc_gaus -> calc_symbol_probab order);
+    o_ref: (D, 1) shifted origin; lt_log_ref: (S, S) log transitions;
+    diag_ref: (band+1, S, 1) banded diagonal columns (unused rows when
+    band is None); len_ref: (1, B).
     Outputs: log_b_ref, la_ref (k_block, S, B).
     Scratch: la_carry_ref (S, B) log-alpha carry."""
     tb = pl.program_id(0)
@@ -204,12 +302,8 @@ def _emit_fwd_kernel(
     )
 
     for k in range(k_block):  # static unroll
-        x = feats_ref[k]  # (D, B)
-        lift = jnp.concatenate([x, x * x], axis=0)  # (2D, B)
-        q = (
-            jnp.dot(a_ref[:], lift, preferred_element_type=jnp.float32)
-            + bias_ref[:]
-        )  # (M*S, B)
+        x = feats_ref[k] - o_ref[:]  # (D, B), about the shifted origin
+        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, S, full)
         log_b = _log_b_from_q(q, S, n_mix)
         log_b_ref[k] = log_b
 
@@ -246,29 +340,41 @@ def _emit_fwd_kernel(
 def emit_forward_pallas(
     feats_tdb: jax.Array,
     a_ms: jax.Array,
+    bias_g: jax.Array,
     bias_ms: jax.Array,
+    logw_ms: jax.Array,
     trans: jax.Array,
     lengths: jax.Array,
+    origin: jax.Array | None = None,
     k_block: int = 16,
     band: int | None = None,
     interpret: bool | None = None,
 ):
-    """feats (T, D, B) + packed constants -> (log_b, log_alpha), both
-    (T, S, B) float32 with lattice rows at t >= length repeating the last
-    valid row (the train/em.py convention).
+    """feats (T, D, B) + packed constants (pack_lane_constants) ->
+    (log_b, log_alpha), both (T, S, B) float32 with lattice rows at
+    t >= length repeating the last valid row (the train/em.py convention).
 
     trans: (S, S) LINEAR transition probabilities.  band: static band width
     (trans_band(trans)) for the rolled banded update; None = dense.
-    T % k_block == 0.
+    origin: (D,) feature shift the constants were packed about
+    (pack_lane_constants), or None.  T % k_block == 0.  The covariance
+    type is inferred from a_ms's width (2D diag, D full-cov Cholesky).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
-    MS, twoD = a_ms.shape
+    n_a, a_w = a_ms.shape
     S = trans.shape[0]
-    assert twoD == 2 * D and T % k_block == 0, (a_ms.shape, T, k_block)
+    assert a_w in (2 * D, D) and T % k_block == 0, (a_ms.shape, T, k_block)
+    full = a_w == D and a_w != 2 * D
+    MS = n_a // D if full else n_a
     M = MS // S
     lens = lengths.astype(jnp.float32).reshape(1, B)
+    o_col = (
+        jnp.zeros((D, 1), jnp.float32)
+        if origin is None
+        else origin.astype(jnp.float32).reshape(D, 1)
+    )
     lt_lin = trans.astype(jnp.float32)
     lt_log = jnp.where(
         lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
@@ -292,12 +398,15 @@ def emit_forward_pallas(
     zero2 = lambda t: (0 * t, 0 * t)
     zero3 = lambda t: (0 * t, 0 * t, 0 * t)
     return pl.pallas_call(
-        partial(_emit_fwd_kernel, M, k_block, band),
+        partial(_emit_fwd_kernel, M, k_block, band, full),
         grid=grid,
         in_specs=[
             pl.BlockSpec((k_block, D, B), lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((MS, twoD), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(a_ms.shape, zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_g.shape, zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbands, S, 1), zero3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
@@ -314,13 +423,16 @@ def emit_forward_pallas(
             pltpu.VMEM((S, B), jnp.float32),
         ],
         interpret=interpret,
-    )(feats_tdb.astype(jnp.float32), a_ms, bias_ms, lt_log, diag, lens)
+    )(
+        feats_tdb.astype(jnp.float32), a_ms, bias_g, bias_ms, logw_ms,
+        o_col, lt_log, diag, lens,
+    )
 
 
 def _bwd_stats_kernel(
-    n_mix, k_block, band,
+    n_mix, k_block, band, full,
     feats_ref, lb_ref, la_ref, lt_log_ref, diag_ref,
-    a_ref, bias_ref, len_ref, z_ref, vmask_ref,
+    a_ref, bias_g_ref, bias_ref, logw_ref, o_ref, len_ref, z_ref, vmask_ref,
     uv_ref, den_trans_ref, den_mix_ref, mom_ref,
     lbw_ref, lbb_ref,
 ):
@@ -339,7 +451,8 @@ def _bwd_stats_kernel(
     T1:1609-1647; contracting B on the MXU per frame keeps every
     intermediate 2-D — an (S, S, B) xi tensor blows both Mosaic compile
     time and register pressure); den_trans / den_mix (S, B);
-    mom (M*S, 2D+1) = [sum gm x, sum gm x^2, sum gm].
+    mom (M*S, L+1) = [sum gm x, sum gm x^2 | sum gm vec(x x^T), sum gm]
+    (L = the lift width: 2D diag, D + D^2 full covariance).
 
     v is clamped at exp(30): mathematically v <= 1/min_trans wherever the
     corresponding trans entry is nonzero (u attains 1 at the argmax state),
@@ -348,10 +461,11 @@ def _bwd_stats_kernel(
     """
     tb = pl.program_id(0)
     nb = pl.num_programs(0)
-    MS = a_ref.shape[0]
+    MS = bias_ref.shape[0]
     S = lt_log_ref.shape[0]
     B = lbw_ref.shape[1]
     D = feats_ref.shape[1]
+    lift_dim = (D + D * D) if full else 2 * D  # moment-lift width
     lens = len_ref[:]  # (1, B)
     z = z_ref[:]  # (1, B) safe final log-prob
     vmask = vmask_ref[:]  # (1, B) 1.0 for valid utterances
@@ -371,7 +485,7 @@ def _bwd_stats_kernel(
     acc_uv = jnp.zeros((S, S), jnp.float32)
     acc_dt = jnp.zeros((S, B), jnp.float32)
     acc_dm = jnp.zeros((S, B), jnp.float32)
-    acc_mom = jnp.zeros((MS, 2 * D + 1), jnp.float32)
+    acc_mom = jnp.zeros((MS, lift_dim + 1), jnp.float32)
 
     for k in range(k_block - 1, -1, -1):  # static unroll, reverse time
         t = t_lo + k
@@ -416,12 +530,9 @@ def _bwd_stats_kernel(
         acc_dm = acc_dm + gamma
         acc_dt = acc_dt + jnp.where(m_xi, gamma, zero)
 
-        x = feats_ref[k]  # (D, B)
-        lift = jnp.concatenate([x, x * x], axis=0)  # (2D, B)
-        q = (
-            jnp.dot(a_ref[:], lift, preferred_element_type=jnp.float32)
-            + bias_ref[:]
-        )  # (M*S, B)
+        x = feats_ref[k] - o_ref[:]  # (D, B), about the shifted origin
+        lift = _lift(x, full)  # moment lift (2D | D+D^2, B)
+        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, S, full)
         lb_t = lb_ref[k]
         gm_rows = []
         for m in range(n_mix):
@@ -462,11 +573,14 @@ def backward_stats_pallas(
     log_b: jax.Array,
     log_alpha: jax.Array,
     a_ms: jax.Array,
+    bias_g: jax.Array,
     bias_ms: jax.Array,
+    logw_ms: jax.Array,
     trans: jax.Array,
     lengths: jax.Array,
     safe_z: jax.Array,
     vmask: jax.Array,
+    origin: jax.Array | None = None,
     k_block: int = 16,
     band: int | None = None,
     interpret: bool | None = None,
@@ -476,22 +590,33 @@ def backward_stats_pallas(
     feats_tdb (T, D, B); log_b / log_alpha (T, S, B) from
     emit_forward_pallas; trans (S, S) linear; safe_z (B,) per-utterance
     final log-prob (0 where invalid); vmask (B,) 1.0/0.0 validity;
+    origin: (D,) feature shift the constants were packed about (moments
+    come back ABOUT this origin — unshift them, see pack_lane_constants);
     band: static band width (trans_band) or None for dense.
 
     Returns (uv (S, S) — num_trans is trans * uv —, den_trans (S, B),
-    den_mix (S, B), mom (M*S, 2D+1)); reduce over B (and reorder moments)
+    den_mix (S, B), mom (M*S, L+1) with L the lift width); reduce over B
+    (and reorder moments)
     in XLA.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
-    MS, twoD = a_ms.shape
+    n_a, a_w = a_ms.shape
     S = trans.shape[0]
-    assert twoD == 2 * D and T % k_block == 0
+    assert a_w in (2 * D, D) and T % k_block == 0
+    full = a_w == D and a_w != 2 * D
+    MS = n_a // D if full else n_a
+    lift_dim = (D + D * D) if full else 2 * D  # moment-lift width
     M = MS // S
     lens = lengths.astype(jnp.float32).reshape(1, B)
     zr = safe_z.astype(jnp.float32).reshape(1, B)
     vm = vmask.astype(jnp.float32).reshape(1, B)
+    o_col = (
+        jnp.zeros((D, 1), jnp.float32)
+        if origin is None
+        else origin.astype(jnp.float32).reshape(D, 1)
+    )
     lt_lin = trans.astype(jnp.float32)
     lt_log = jnp.where(
         lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
@@ -516,7 +641,7 @@ def backward_stats_pallas(
     zero2 = lambda t: (0 * t, 0 * t)
     zero3 = lambda t: (0 * t, 0 * t, 0 * t)
     return pl.pallas_call(
-        partial(_bwd_stats_kernel, M, k_block, band),
+        partial(_bwd_stats_kernel, M, k_block, band, full),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((k_block, D, B), rev, memory_space=pltpu.VMEM),
@@ -524,8 +649,11 @@ def backward_stats_pallas(
             pl.BlockSpec((k_block, S, B), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbands, S, 1), zero3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((MS, twoD), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(a_ms.shape, zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_g.shape, zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MS, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
@@ -534,13 +662,13 @@ def backward_stats_pallas(
             pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((MS, 2 * D + 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((MS, lift_dim + 1), zero2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, S), jnp.float32),
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((S, B), jnp.float32),
-            jax.ShapeDtypeStruct((MS, 2 * D + 1), jnp.float32),
+            jax.ShapeDtypeStruct((MS, lift_dim + 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, B), jnp.float32),
@@ -549,5 +677,6 @@ def backward_stats_pallas(
         interpret=interpret,
     )(
         feats_tdb.astype(jnp.float32),
-        log_b, log_alpha, lt_log, diag, a_ms, bias_ms, lens, zr, vm,
+        log_b, log_alpha, lt_log, diag, a_ms, bias_g, bias_ms, logw_ms,
+        o_col, lens, zr, vm,
     )

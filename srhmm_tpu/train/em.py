@@ -496,7 +496,10 @@ def e_step_fused_lane(
     interpret: bool | None = None,
 ) -> SuffStats:
     """Batched E-step on the fused LANE-MAJOR Pallas kernels
-    (ops/pallas/fused_em_pallas.py) — single diagonal-covariance stream.
+    (ops/pallas/fused_em_pallas.py) — single-stream models, diagonal OR
+    full covariance (the full-cov quadratic form and (D, D) moment
+    statistics ride the same per-frame GEMMs through the lifted features
+    [x; vec(x x^T)]; pack_lane_constants).
 
     Two kernels, batch on the 128-lane axis:
       K1 emission + scaled forward  -> log_b, log-alpha  (one feats read)
@@ -513,8 +516,8 @@ def e_step_fused_lane(
     dense (S, S, B) update.  None = dense (any transition structure).
     """
     stream = model.streams[0]
-    if len(model.streams) != 1 or stream.cov_type != DIAG:
-        raise ValueError("e_step_fused_lane: single diagonal-covariance stream only")
+    if len(model.streams) != 1 or stream.cov_type not in (DIAG, FULL):
+        raise ValueError("e_step_fused_lane: single-stream models only")
     from ..ops.pallas.fused_em_pallas import (
         NEG_INF,
         backward_stats_pallas,
@@ -530,16 +533,28 @@ def e_step_fused_lane(
     S = model.num_states
     M = stream.num_mixtures
     dtype = jnp.float32
+    if stream.cov_type == FULL:
+        # the full-cov unrolled block carries (M*S*D, B) z and (D+D²+1, B)
+        # lift temporaries; k=16 measures within 1% of k=8 and bounds
+        # Mosaic compile time/VMEM (hardware-tuned, scratch/bench_fullcov.py)
+        k_block = min(k_block, 16)
     while T % k_block:
         k_block //= 2
 
     if feats_tdb is None:
         feats_tdb = jnp.transpose(feats.astype(dtype), (1, 2, 0))  # (T, D, B)
-    a_ms, bias_ms = pack_lane_constants(stream, dtype)
+    # shifted origin (mean of means): the lifted-feature GEMM and the moment
+    # accumulation operate at residual scale instead of raw feature scale —
+    # the same cancellation-avoidance as the bf16 shifted-origin moments
+    # (_per_utterance_stats); the unshift below is exact in f32
+    origin = jnp.mean(stream.means.astype(dtype), axis=(0, 1))  # (D,)
+    a_ms, bias_g, bias_ms, logw_ms = pack_lane_constants(
+        stream, dtype, origin=origin
+    )
     trans = model.trans.astype(dtype)
 
     log_b, la = emit_forward_pallas(
-        feats_tdb, a_ms, bias_ms, trans, lengths,
+        feats_tdb, a_ms, bias_g, bias_ms, logw_ms, trans, lengths, origin,
         k_block=k_block, band=band, interpret=interpret,
     )
     log_z = la[-1, S - 1, :]  # (B,) — rows repeat past each length
@@ -548,19 +563,36 @@ def e_step_fused_lane(
     safe_z = jnp.where(valid, log_z, 0.0)
 
     uv, den_trans, den_mix, mom = backward_stats_pallas(
-        feats_tdb, log_b, la, a_ms, bias_ms, trans, lengths, safe_z, vmask,
+        feats_tdb, log_b, la, a_ms, bias_g, bias_ms, logw_ms, trans,
+        lengths, safe_z, vmask, origin,
         k_block=k_block, band=band, interpret=interpret,
     )
-    mom = mom.reshape(M, S, 2 * D + 1).transpose(1, 0, 2)  # (S, M, 2D+1)
+    D2 = batch.features.shape[-1]
+    L = (D2 + D2 * D2) if stream.cov_type == FULL else 2 * D2  # moment width
+    mom = mom.reshape(M, S, L + 1).transpose(1, 0, 2)  # (S, M, L+1)
+    # unshift the about-origin moments back to feature space (exact):
+    #   sum g x = sum g y + o sum g;  the second moment by the binomial
+    #   identity in o (same algebra as _per_utterance_stats)
+    o = origin
+    w = mom[..., L]
+    ys = mom[..., :D]
+    x = ys + o * w[..., None]
+    if stream.cov_type == FULL:
+        yy = mom[..., D:L].reshape(S, M, D, D)
+        xx = (
+            yy
+            + o[:, None] * ys[..., None, :]
+            + ys[..., :, None] * o[None, :]
+            + (o[:, None] * o[None, :]) * w[..., None, None]
+        )
+    else:
+        yy = mom[..., D:L]
+        xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
     return SuffStats(
         num_trans=trans * uv,
         den_trans=den_trans.sum(-1),
         den_mix=den_mix.sum(-1),
-        streams=(
-            StreamStats(
-                w=mom[..., 2 * D], x=mom[..., :D], xx=mom[..., D : 2 * D]
-            ),
-        ),
+        streams=(StreamStats(w=w, x=x, xx=xx),),
         log_prob=jnp.sum(safe_z),
         num_valid=vmask.sum(),
     )
@@ -664,13 +696,13 @@ def _em_step_fused_lane(
 
 
 def _fused_lane_eligible(model: GmmHmm, batch, bf16_stats: bool) -> bool:
-    """The fused lane-major Pallas E-step handles: single diagonal-covariance
-    stream, f32 batch with a full-lane batch axis (B % 128 == 0 — partial
-    lane tiles stall the Mosaic compiler), unsharded placement, TPU
-    backend."""
+    """The fused lane-major Pallas E-step handles: single-stream models
+    (diagonal or full covariance), f32 batch with a full-lane batch axis
+    (B % 128 == 0 — partial lane tiles stall the Mosaic compiler),
+    unsharded placement, TPU backend."""
     if bf16_stats or isinstance(batch, tuple):
         return False
-    if len(model.streams) != 1 or model.streams[0].cov_type != DIAG:
+    if len(model.streams) != 1 or model.streams[0].cov_type not in (DIAG, FULL):
         return False
     if batch.features.dtype != jnp.float32:
         return False

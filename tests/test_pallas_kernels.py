@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans
+from srhmm_tpu.models import DIAG, FULL, GmmHmm, GmmStream, init_left_right_trans
 from srhmm_tpu.ops import log_forward, log_state_emission, score_final_state, score_total, viterbi
 from srhmm_tpu.ops.pallas import (
     backtrace,
@@ -268,29 +268,40 @@ def test_emission_stats_kernel_zero_likelihood_state():
 
 
 @pytest.mark.parametrize("band", [None, 1])
-def test_fused_lane_e_step_matches_xla(band):
+@pytest.mark.parametrize("cov_type", [DIAG, FULL])
+def test_fused_lane_e_step_matches_xla(band, cov_type):
     """The lane-major fused E-step (ops/pallas/fused_em_pallas.py) must
     reproduce every statistic of train.em.e_step to f32 roundoff, for both
-    the dense and the banded (rolled-diagonal) recursions, including padded
-    and zero-length utterances."""
+    covariance types and both the dense and the banded (rolled-diagonal)
+    recursions, including padded and zero-length utterances.  Full cov
+    exercises the lifted [x; vec(x x^T)] emission GEMM and the (D, D)
+    moment accumulation."""
     from srhmm_tpu.io.dataset import pack_utterances
     from srhmm_tpu.train.em import e_step, e_step_fused_lane
 
     S, M, D = 5, 3, 7
     rng = np.random.default_rng(0)
     means = rng.normal(size=(S, M, D)) * 2.0
-    var = rng.uniform(0.5, 1.5, size=(S, M, D))
     w = rng.uniform(0.3, 0.7, size=(S, M))
     w /= w.sum(-1, keepdims=True)
+    if cov_type == FULL:
+        a_rnd = rng.normal(size=(S, M, D, D)) * 0.2
+        cov = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(D)[None, None]
+        inv_cov = np.linalg.inv(cov)
+        det = np.linalg.det(cov)
+    else:
+        var = rng.uniform(0.5, 1.5, size=(S, M, D))
+        inv_cov = 1.0 / var
+        det = np.prod(var, -1)
     model = GmmHmm(
         trans=init_left_right_trans(S),
         streams=(
             GmmStream(
                 weights=jnp.asarray(w),
                 means=jnp.asarray(means),
-                inv_cov=jnp.asarray(1.0 / var),
-                det=jnp.asarray(np.prod(var, -1)),
-                cov_type=DIAG,
+                inv_cov=jnp.asarray(inv_cov),
+                det=jnp.asarray(det),
+                cov_type=cov_type,
             ),
         ),
     ).astype(jnp.float32)
