@@ -59,19 +59,41 @@ def _rand_model(rng, S, M, D, dtype):
 
 
 def _time_em(model, batch, iters=10, var_floor=0.0):
-    """Steady-state seconds/EM-iteration, per-call em_step loop on the XLA
-    path.  Deliberately NOT the fused/scanned production trainer: away from
-    the production shapes this toolchain's compiles are pathological (the
-    fused kernels stall minutes at S=5/D=13; an XLA scan-of-scans program
-    also compiles for minutes), and the headline bench.py already measures
-    the production path at its shape.  Suite configs compare workloads
-    under one robust compilation regime."""
-    import jax
+    """Steady-state seconds/EM-iteration on the PRODUCTION trainer:
+    em_train_scan (N iterations as one jitted lax.scan) with the fused
+    lane-major Pallas E-step when eligible.  Round-2's hand-forced
+    fused=False is gone — the "Mosaic stalls minutes at S=5/D=13" turned
+    out to be cold-server compile noise (fresh shapes compile in ~5 s
+    through the scan; only k_block=128 unrolls genuinely stall, which
+    e_step_fused_lane now caps), and the ~30 ms/call dispatch overhead of
+    the per-call loop on this tunneled backend is amortized by the scan.
+    Ineligible (non-TPU / multi-stream) workloads time the per-call XLA
+    loop as before."""
+    import jax.numpy as jnp
 
-    from ..train.em import em_step
+    from ..train.em import _fused_lane_eligible, em_step, em_train_scan
+
+    if _fused_lane_eligible(model, batch, False):
+        from ..ops.pallas.fused_em_pallas import trans_band
+
+        band = trans_band(model.trans)
+        feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
+        # enough iterations that the per-program-call tunnel RTT (~15 ms on
+        # this backend) is noise next to the on-device per-iteration time
+        iters = max(iters, 50)
+        _, lps, _ = em_train_scan(
+            model, batch, iters, feats_tdb, var_floor=var_floor, band=band
+        )
+        float(lps[-1])  # forced fetch: block_until_ready doesn't sync here
+        t0 = time.perf_counter()
+        _, lps, _ = em_train_scan(
+            model, batch, iters, feats_tdb, var_floor=var_floor, band=band
+        )
+        float(lps[-1])
+        return (time.perf_counter() - t0) / iters
 
     new_model, lp, nv = em_step(model, batch, var_floor, fused=False)
-    float(lp)  # scalar fetch: block_until_ready does not sync on this backend
+    float(lp)
     model = new_model
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -88,11 +110,7 @@ def config1(rng):
 
     S, M, D, B, T = 5, 1, 13, 64, 300
     model = _rand_model(rng, S, M, D, jnp.float32)
-    # pad the batch axis to a full 128-lane tile: zero-length rows are
-    # inert, and partial lane tiles stall the Mosaic compiler (~8 min)
-    batch = pack_utterances(
-        _synth_utts(rng, B, T, D, S), pad_batch_to=128, dtype=jnp.float32
-    )
+    batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
     dt = _time_em(model, batch)
     return {"config": 1, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1)}

@@ -87,10 +87,15 @@ def pack_lane_constants(stream: GmmStream, dtype=jnp.float32, origin=None):
     ~0.03 nats/frame of f32 error on LBG-initialized full-cov models
     (inverse covariances with large entries), 20x worse statistics than
     the XLA path.  The sum-of-squares form has NO cancellation: every
-    term is positive and at residual scale.  Degenerate mixtures
-    (log|det| non-finite or a non-PD inverse) get zeroed G rows and a
-    NEG_INF bias, matching the XLA path's -inf likelihood
-    (ops/emission.py log_gauss).
+    term is positive and at residual scale.  Degenerate mixtures get
+    zeroed G rows and a constant bias: NEG_INF when log|det| is
+    non-finite (matching the XLA path's -inf likelihood,
+    ops/emission.py log_gauss), or LOG_GAUS_CLAMP when the det is
+    finite but the inverse is not PD (Cholesky NaN) — the indefinite
+    quadratic form explodes the density, which the reference clamps at
+    1e20 (calc_gaus T1:1880-1883).  Both cases are unreachable after
+    m_step's PSD flooring/repair; they exist for imported pathological
+    models.
 
     origin: optional (D,) shift o with y = x - o (kernels subtract it from
     the features).  Moments accumulated by K2 are then ABOUT o: unshift
@@ -107,10 +112,15 @@ def pack_lane_constants(stream: GmmStream, dtype=jnp.float32, origin=None):
     if stream.cov_type == FULL:
         chol = jnp.linalg.cholesky(k)  # (S, M, D, D) lower, k = L L^T
         zmu = jnp.einsum("smed,sme->smd", chol, mu)  # L^T mu' per (s, m)
-        ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1)) & jnp.isfinite(norm)
+        det_ok = jnp.isfinite(norm)
+        ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1)) & det_ok
         chol = jnp.where(ok[..., None, None], chol, 0.0)
         zmu = jnp.where(ok[..., None], zmu, 0.0)
-        bias = jnp.where(ok, norm, NEG_INF)
+        # degenerate split (module docstring): non-finite det -> -inf
+        # likelihood; finite det but non-PD inverse -> the 1e20 clamp
+        bias = jnp.where(
+            ok, norm, jnp.where(det_ok, LOG_GAUS_CLAMP, NEG_INF)
+        )
         # G[d*M*S + m*S + s, e] = chol[s, m, e, d]  (row d of L^T)
         g = jnp.transpose(chol, (3, 1, 0, 2)).reshape(M * S * D, D)
         bias_g = -jnp.transpose(zmu, (2, 1, 0)).reshape(M * S * D, 1)
@@ -140,7 +150,7 @@ def _lift(x, full: bool):
     return jnp.concatenate([x] + [x * x[d : d + 1] for d in range(D)], axis=0)
 
 
-def _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, n_states, full):
+def _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, full):
     """Per-mixture weighted log-likelihoods q (M*S, B) from centered
     features x (D, B).
 
@@ -303,7 +313,7 @@ def _emit_fwd_kernel(
 
     for k in range(k_block):  # static unroll
         x = feats_ref[k] - o_ref[:]  # (D, B), about the shifted origin
-        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, S, full)
+        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, full)
         log_b = _log_b_from_q(q, S, n_mix)
         log_b_ref[k] = log_b
 
@@ -532,7 +542,7 @@ def _bwd_stats_kernel(
 
         x = feats_ref[k] - o_ref[:]  # (D, B), about the shifted origin
         lift = _lift(x, full)  # moment lift (2D | D+D^2, B)
-        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, S, full)
+        q = _emission_q(x, a_ref, bias_g_ref, bias_ref, logw_ref, full)
         lb_t = lb_ref[k]
         gm_rows = []
         for m in range(n_mix):

@@ -514,6 +514,12 @@ def e_step_fused_lane(
     computed on the host from the concrete initial model) — the banded
     left-right recursions run over band+1 rolled diagonals instead of the
     dense (S, S, B) update.  None = dense (any transition structure).
+
+    Any (B, T) shape is accepted: the batch axis is zero-padded to the
+    128-lane tile (zero-length rows are inert — masked out of every
+    statistic and excluded from num_valid/log_prob) and the time axis to
+    the k_block tile (frames at t >= length are masked; the log-alpha
+    rows just repeat).  Statistics are bitwise independent of the padding.
     """
     stream = model.streams[0]
     if len(model.streams) != 1 or stream.cov_type not in (DIAG, FULL):
@@ -538,8 +544,22 @@ def e_step_fused_lane(
         # lift temporaries; k=16 measures within 1% of k=8 and bounds
         # Mosaic compile time/VMEM (hardware-tuned, scratch/bench_fullcov.py)
         k_block = min(k_block, 16)
-    while T % k_block:
-        k_block //= 2
+    # k_block = 128 statically unrolls past Mosaic's practical compile
+    # budget (hardware-measured: minutes; 16-64 are within noise of each
+    # other, scratch/sweep_kblock.py)
+    k_block = min(k_block, 64)
+
+    # pad lanes to the 128-lane tile and time to the k_block tile instead
+    # of bailing to the XLA path / shrinking the unroll factor
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    if pad_b or pad_t:
+        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+        if feats_tdb is not None:
+            feats_tdb = jnp.pad(feats_tdb, ((0, pad_t), (0, 0), (0, pad_b)))
+        B += pad_b
+        T += pad_t
 
     if feats_tdb is None:
         feats_tdb = jnp.transpose(feats.astype(dtype), (1, 2, 0))  # (T, D, B)
@@ -567,8 +587,7 @@ def e_step_fused_lane(
         lengths, safe_z, vmask, origin,
         k_block=k_block, band=band, interpret=interpret,
     )
-    D2 = batch.features.shape[-1]
-    L = (D2 + D2 * D2) if stream.cov_type == FULL else 2 * D2  # moment width
+    L = (D + D * D) if stream.cov_type == FULL else 2 * D  # moment width
     mom = mom.reshape(M, S, L + 1).transpose(1, 0, 2)  # (S, M, L+1)
     # unshift the about-origin moments back to feature space (exact):
     #   sum g x = sum g y + o sum g;  the second moment by the binomial
@@ -697,16 +716,14 @@ def _em_step_fused_lane(
 
 def _fused_lane_eligible(model: GmmHmm, batch, bf16_stats: bool) -> bool:
     """The fused lane-major Pallas E-step handles: single-stream models
-    (diagonal or full covariance), f32 batch with a full-lane batch axis
-    (B % 128 == 0 — partial lane tiles stall the Mosaic compiler),
-    unsharded placement, TPU backend."""
+    (diagonal or full covariance), f32 batch (any B/T — e_step_fused_lane
+    zero-pads to the lane/time tiles internally), unsharded placement,
+    TPU backend."""
     if bf16_stats or isinstance(batch, tuple):
         return False
     if len(model.streams) != 1 or model.streams[0].cov_type not in (DIAG, FULL):
         return False
     if batch.features.dtype != jnp.float32:
-        return False
-    if batch.features.shape[0] % 128 != 0:
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -477,3 +477,34 @@ def test_score_batch_dispatcher_cpu_falls_back():
     auto = np.asarray(score_batch(vocab, batch))
     ref = np.asarray(score_batch_log(vocab, batch))
     np.testing.assert_array_equal(auto, ref)  # CPU: identical objects/path
+
+
+def test_fused_lane_autopad_odd_shapes():
+    """e_step_fused_lane accepts ANY (B, T): the batch axis zero-pads to
+    the 128-lane tile and time to the k_block tile inside the wrapper
+    (round-3 fix — the eligibility gate no longer rejects B % 128 != 0),
+    and the statistics are bitwise independent of the padding."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.train.em import e_step, e_step_fused_lane
+
+    S, M, D = 4, 2, 5
+    rng = np.random.default_rng(7)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(_stream(rng, S=S, M=M, D=D),),
+    ).astype(jnp.float32)
+    # odd T (53: not a multiple of any k_block) and odd B (5)
+    utts = [rng.normal(size=(31 + 11 * i, D)) for i in range(5)]
+    batch = pack_utterances(utts, pad_multiple=1, dtype=jnp.float32)
+    assert batch.features.shape[0] % 128 != 0
+    assert batch.features.shape[1] % 8 != 0
+
+    ref = e_step(model, batch)
+    got = e_step_fused_lane(model, batch, k_block=8, band=1, interpret=True)
+    for name in ["num_trans", "den_trans", "den_mix", "log_prob", "num_valid"]:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * max(np.abs(a).max(), 1.0))
+    for name in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[0], name))
+        b = np.asarray(getattr(got.streams[0], name))
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * np.abs(a).max())
