@@ -159,18 +159,22 @@ def bench_decode_rtf() -> float:
     return dt / (Td * FRAME_SHIFT_S)
 
 
-def bench_recognition() -> float:
+def bench_recognition(cov_type: str = "diag") -> float:
     """Batch isolated-word recognition throughput (audio-s scored per
     second): 13-word reference-scale vocabulary, every utterance scored
     against every word on the fused lane-major scoring kernel
     (ops/pallas/scoring_pallas.py).  The C recognizer scores one utterance
-    against the 13 models in 0.03 s (hmm-result.txt:182) = ~47 audio-s/s."""
+    against the 13 models in 0.03 s (hmm-result.txt:182) = ~47 audio-s/s.
+    cov_type="full" is the apples-to-apples workload: R1 (the program
+    behind the golden report) scores FULL-covariance models
+    (recognition-full-fs/recognition_continuous_full_fs.c:822-836), and
+    the fused scorer rides the Cholesky z-GEMM for it."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from srhmm_tpu.io.dataset import pack_utterances
-    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models
+    from srhmm_tpu.models import DIAG, FULL, GmmHmm, GmmStream, init_left_right_trans, stack_models
     from srhmm_tpu.ops.pallas.scoring_pallas import (
         NEG_INF,
         pack_vocab_constants,
@@ -183,16 +187,24 @@ def bench_recognition() -> float:
     def one(seed):
         r = np.random.default_rng(seed)
         means = r.normal(size=(Sr, 1, Dr)) * 4.0
-        var = r.uniform(0.5, 1.5, size=(Sr, 1, Dr))
+        if cov_type == "full":
+            a_rnd = r.normal(size=(Sr, 1, Dr, Dr)) * 0.3
+            cov = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(Dr)[None, None]
+            inv_cov, det = np.linalg.inv(cov), np.linalg.det(cov)
+            ct = FULL
+        else:
+            var = r.uniform(0.5, 1.5, size=(Sr, 1, Dr))
+            inv_cov, det = 1.0 / var, np.prod(var, -1)
+            ct = DIAG
         return GmmHmm(
             trans=init_left_right_trans(Sr),
             streams=(
                 GmmStream(
                     weights=jnp.ones((Sr, 1)),
                     means=jnp.asarray(means),
-                    inv_cov=jnp.asarray(1.0 / var),
-                    det=jnp.asarray(np.prod(var, -1)),
-                    cov_type=DIAG,
+                    inv_cov=jnp.asarray(inv_cov),
+                    det=jnp.asarray(det),
+                    cov_type=ct,
                 ),
             ),
             word=f"w{seed}",
@@ -204,14 +216,16 @@ def bench_recognition() -> float:
         pad_multiple=128,
         dtype=jnp.float32,
     )
-    a_c, bias_c, diag_c, band = pack_vocab_constants(vocab, jnp.float32)
+    a_c, bias_g_c, bias_c, logw_c, diag_c, band = pack_vocab_constants(
+        vocab, jnp.float32
+    )
 
     @jax.jit
     def score(feats, lengths):
         f_tdb = jnp.transpose(feats, (1, 2, 0))
         la = vocab_scores_pallas(
-            f_tdb, a_c, bias_c, diag_c, lengths, s_word=Sr, band=band,
-            k_block=32, semiring="sum", interpret=False,
+            f_tdb, a_c, bias_g_c, bias_c, logw_c, diag_c, lengths,
+            s_word=Sr, band=band, k_block=32, semiring="sum", interpret=False,
         ).reshape(W, Sr, -1)
         sc = jax.nn.logsumexp(jnp.maximum(la, NEG_INF), axis=1)
         best = jnp.argmax(sc, axis=0)  # recognized word per utterance
@@ -301,25 +315,27 @@ def main():
     except Exception as e:  # pragma: no cover
         print(json.dumps({"suite_error": str(e)[:120]}), flush=True)
 
-    try:
-        rec = bench_recognition()
-        print(
-            json.dumps(
-                {
-                    "metric": "batch_recognition_audio_s_per_sec",
-                    "value": round(rec, 1),
-                    "unit": "audio_s/s",
-                    # C: 13-model score+rank in 0.03 s per 1.42 s utterance
-                    "vs_baseline": round(rec / (1.42 / 0.03), 1),
-                }
-            ),
-            flush=True,
-        )
-    except Exception as e:  # pragma: no cover
-        print(
-            json.dumps({"metric": "batch_recognition", "error": str(e)[:120]}),
-            flush=True,
-        )
+    for ct, name in (("diag", "batch_recognition_audio_s_per_sec"),
+                     ("full", "batch_recognition_fullcov_audio_s_per_sec")):
+        try:
+            rec = bench_recognition(ct)
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "value": round(rec, 1),
+                        "unit": "audio_s/s",
+                        # C: 13-model score+rank in 0.03 s per 1.42 s utterance
+                        "vs_baseline": round(rec / (1.42 / 0.03), 1),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print(
+                json.dumps({"metric": name, "error": str(e)[:120]}),
+                flush=True,
+            )
 
     rtf = None
     try:

@@ -107,15 +107,15 @@ def score_batch(
 ) -> jax.Array:
     """Batch scoring dispatcher: the fused lane-major Pallas scoring kernel
     (ops/pallas/scoring_pallas.py — one kernel for ALL utterances x ALL
-    words, features read once) on TPU for single-stream diagonal f32
-    vocabularies; score_batch_log otherwise.  impl: None=auto,
-    "fused"/"xla" to force."""
+    words, features read once) on TPU for single-stream f32 vocabularies,
+    diagonal or full covariance (full cov rides the Cholesky z-GEMM — the
+    reference's committed R1 fixture models score on the fused path);
+    score_batch_log otherwise.  impl: None=auto, "fused"/"xla" to force."""
     eligible = (
         final_states is None
         and len(vocab.streams) == 1
-        and vocab.streams[0].cov_type == "diag"
+        and vocab.streams[0].cov_type in ("diag", "full")
         and getattr(batch.features, "dtype", None) == jnp.float32
-        and batch.features.shape[0] % 128 == 0  # partial lane tiles stall Mosaic
         and jax.default_backend() == "tpu"
     )
     if eligible:

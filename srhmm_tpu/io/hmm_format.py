@@ -130,6 +130,13 @@ def _read_body(data, off, word, S, P, mix, coef, cov_type) -> GmmHmm:
                 inv_cov=jnp.asarray(inv_cov),
                 det=jnp.asarray(det),
                 cov_type=cov_type,
+                # log|det| computed in HOST float64 before anything touches a
+                # device: the stored linear determinant overflows not just
+                # f32 but the axon TPU backend's emulated f64, whose range
+                # is f32's (6.7e40 -> inf AT ARRAY CREATION, then
+                # log_abs_det() -> nan killed whole states in the fused
+                # full-cov scorer; hardware-debugged round 3)
+                log_det=jnp.asarray(np.log(np.abs(det))),
             )
         )
     return GmmHmm(trans=jnp.asarray(trans), streams=tuple(streams), word=word)

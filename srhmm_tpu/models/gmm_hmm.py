@@ -226,6 +226,8 @@ def pad_stack_models(models: Sequence[GmmHmm]) -> tuple[GmmHmm, jax.Array]:
             mu[:S, :M] = np.asarray(st.means)
             det = np.ones((s_max, Mx), dtype)
             det[:S, :M] = np.asarray(st.det)
+            ld = np.zeros((s_max, Mx), dtype)  # filler: log|det| of 1
+            ld[:S, :M] = np.asarray(st.log_abs_det())
             if st.cov_type == FULL:
                 ic = np.tile(np.eye(D, dtype=dtype), (s_max, Mx, 1, 1))
                 ic[:S, :M] = np.asarray(st.inv_cov)
@@ -239,7 +241,7 @@ def pad_stack_models(models: Sequence[GmmHmm]) -> tuple[GmmHmm, jax.Array]:
                     inv_cov=jnp.asarray(ic),
                     det=jnp.asarray(det),
                     cov_type=st.cov_type,
-                    log_det=None,
+                    log_det=jnp.asarray(ld),
                 )
             )
         padded.append(

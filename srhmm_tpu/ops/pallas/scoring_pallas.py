@@ -12,19 +12,33 @@ with the vocabulary stacked on the sublane axis: the carry is the
 runs over the band+1 diagonals with a BLOCK-banded shift mask
 ((row % S) >= d), so word boundaries never leak into each other.  Per
 frame: M MXU GEMMs (Nb, 2D) x (2D, B) for the block's per-mixture
-log-likelihoods, a per-state mixture logsumexp, and the banded recursion
-— under the (logsumexp, +) semiring for forward scores (the reference's
-scoring) or (max, +) for Viterbi scores.  Nothing but the final (W*S, B)
-log-alpha is written to HBM: reading the T-frame features is the only
-large I/O.
+log-likelihoods (diagonal covariance), or ONE (D*M*Nb, D) x (D, B) GEMM
+building the Cholesky z sum-of-squares (FULL covariance — the
+reference's canonical R1 regime, the committed fixture models in
+test/test/models/*.hmm scored by
+recognition-full-fs/recognition_continuous_full_fs.c:822-836, rides the
+fused scorer too; same z-GEMM formulation as
+fused_em_pallas.pack_lane_constants, no cancellation); then a per-state
+mixture logsumexp and the banded recursion — under the (logsumexp, +)
+semiring for forward scores (the reference's scoring) or (max, +) for
+Viterbi scores.  Nothing but the final (W*S, B) log-alpha is written to
+HBM: reading the T-frame features is the only large I/O.
 
 Large vocabularies block over W on an outer PARALLEL grid axis (the time
 axis iterates innermost, so each word-block's carry lives across its time
 sweep); features are re-read once per word block.
+
+All emission GEMMs run at Precision.HIGHEST: the backend's default f32
+matmul uses truncated bf16 passes, and at raw feature scale (the .perfil
+profiles reach |x| ~ 3e3) that cost ~185 nats on the top-ranked fixture
+score and flipped rankings (hardware-debugged round 3; HIGHEST restores
+agreement with the XLA scorer to ~2e-4 relative).  The GEMMs are a small
+fraction of the kernel, so the extra passes are ~free.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -32,39 +46,85 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.gmm_hmm import DIAG, GmmHmm
+from ...models.gmm_hmm import DIAG, FULL, GmmHmm
+from .fused_em_pallas import LOG_GAUS_CLAMP
 
 NEG_INF = -1e30
 _TINY = 1e-38
 
 
 def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32):
-    """Packed GEMM constants for a stacked single-stream diag vocabulary.
+    """Packed GEMM constants for a stacked single-stream vocabulary.
 
-    Returns (a: (M, W*S, 2D), bias: (M, W*S, 1), diag: (band+1, W*S, 1),
-    band) with rows ordered (w, s) within each mixture plane, so a word
-    block is a contiguous sublane slice."""
-    import math
+    Returns (a, bias_g, bias, logw, diag, band) with rows ordered (w, s)
+    within each plane, so a word block is a contiguous sublane slice.
 
+    Diagonal covariance: a (M, W*S, 2D) lift rows; bias (M, W*S, 1) with
+    the mixture log-weight FOLDED IN (no density clamp on the diag path —
+    matches decode.scorer's XLA behavior); bias_g / logw are (1, 1, 1)
+    dummies.
+
+    Full covariance: the Cholesky z-GEMM (fused_em_pallas
+    .pack_lane_constants, K = L L^T):  a (M*D, W*S, D) with
+    a[m*D + d, w*S + s] = row d of L^T for mixture m of state s of word
+    w; bias_g (M*D, W*S, 1) = -(L^T mu)_d; bias (M, W*S, 1) the Gaussian
+    normalizer alone; logw (M, W*S, 1) the log mixture weight, separate
+    so the reference's 1e20 density clamp lands between density and
+    weight (calc_gaus R1:902-953 -> calc_symbol_probab R1:855).
+    Degenerate mixtures follow pack_lane_constants: non-finite log|det|
+    -> NEG_INF bias; finite det but non-PD inverse -> LOG_GAUS_CLAMP.
+
+    The packing math runs in HOST numpy float64, never jnp: the vocab is
+    concrete at pack time, and a jnp "float64" silently degrades to f32
+    in a process without jax_enable_x64 — on the TPU backend that made
+    the f32 Cholesky of the reference fixture inv-covariances (entries
+    ~1e3) produce NaNs and kill whole states (hardware-debugged)."""
     import numpy as np
 
     stream = vocab.streams[0]
-    if stream.cov_type != DIAG:
-        raise ValueError("pack_vocab_constants: diagonal covariance only")
-    mu = stream.means.astype(jnp.float64)  # (W, S, M, D)
-    k = stream.inv_cov.astype(jnp.float64)
-    w = stream.weights.astype(jnp.float64)
-    log_det = stream.log_abs_det().astype(jnp.float64)
+    if stream.cov_type not in (DIAG, FULL):
+        raise ValueError("pack_vocab_constants: diag or full covariance")
+    mu = np.asarray(stream.means, np.float64)  # (W, S, M, D)
+    k = np.asarray(stream.inv_cov, np.float64)
+    w = np.asarray(stream.weights, np.float64)
+    log_det = np.asarray(stream.log_abs_det(), np.float64)
     W, S, M, D = mu.shape
     N = W * S
-    a = jnp.concatenate([mu * k, -0.5 * k], axis=-1)  # (W, S, M, 2D)
-    a = jnp.transpose(a, (2, 0, 1, 3)).reshape(M, N, 2 * D)
-    bias = (
-        -0.5 * jnp.sum(mu * mu * k, axis=-1)
-        + jnp.log(jnp.maximum(w, 1e-300))
-        - 0.5 * (D * math.log(2.0 * math.pi) + log_det)
-    )  # (W, S, M)
-    bias = jnp.transpose(bias, (2, 0, 1)).reshape(M, N, 1)
+    norm = -0.5 * (D * math.log(2.0 * math.pi) + log_det)  # (W, S, M)
+    logw = np.log(np.maximum(w, 1e-300))  # (W, S, M)
+    if stream.cov_type == FULL:
+        # np.linalg.cholesky raises on any non-PD matrix instead of
+        # returning NaN blocks — factor each mixture independently
+        det_ok = np.isfinite(norm)
+        try:  # batched fast path; per-mixture fallback isolates failures
+            chol = np.linalg.cholesky(k)
+            pd_ok = np.ones((W, S, M), bool)
+        except np.linalg.LinAlgError:
+            chol = np.zeros_like(k)
+            pd_ok = np.zeros((W, S, M), bool)
+            for idx in np.ndindex(W, S, M):
+                try:
+                    chol[idx] = np.linalg.cholesky(k[idx])
+                    pd_ok[idx] = True
+                except np.linalg.LinAlgError:
+                    pass
+        ok = pd_ok & det_ok
+        zmu = np.einsum("wsmed,wsme->wsmd", chol, mu)  # L^T mu
+        chol = np.where(ok[..., None, None], chol, 0.0)
+        zmu = np.where(ok[..., None], zmu, 0.0)
+        bias = np.where(ok, norm, np.where(det_ok, LOG_GAUS_CLAMP, NEG_INF))
+        # a[m*D + d, w*S + s, e] = chol[w, s, m, e, d]  (row d of L^T)
+        a = np.transpose(chol, (2, 4, 0, 1, 3)).reshape(M * D, N, D)
+        bias_g = -np.transpose(zmu, (2, 3, 0, 1)).reshape(M * D, N, 1)
+        bias = np.transpose(bias, (2, 0, 1)).reshape(M, N, 1)
+        logw_out = np.transpose(logw, (2, 0, 1)).reshape(M, N, 1)
+    else:
+        a = np.concatenate([mu * k, -0.5 * k], axis=-1)  # (W, S, M, 2D)
+        a = np.transpose(a, (2, 0, 1, 3)).reshape(M, N, 2 * D)
+        bias = -0.5 * np.sum(mu * mu * k, axis=-1) + logw + norm
+        bias = np.transpose(bias, (2, 0, 1)).reshape(M, N, 1)
+        bias_g = np.zeros((1, 1, 1), np.float64)
+        logw_out = np.zeros((1, 1, 1), np.float64)
 
     # block-banded diagonals of the per-word transition matrices:
     # diag[d][w*S + j] = log trans_w[j-d, j] (rows with j < d are NEG_INF)
@@ -84,20 +144,25 @@ def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32):
     diag = diag.reshape(band + 1, N, 1)
     return (
         a.astype(dtype),
+        jnp.maximum(bias_g, NEG_INF).astype(dtype),
         jnp.maximum(bias, NEG_INF).astype(dtype),
+        jnp.maximum(logw_out, NEG_INF).astype(dtype),
         jnp.asarray(np.maximum(diag, NEG_INF), dtype),
         band,
     )
 
 
 def _score_kernel(
-    n_mix, k_block, band, s_word, semiring,
-    feats_ref, a_ref, bias_ref, diag_ref, len_ref,
+    n_mix, n_dim, k_block, band, s_word, semiring, full,
+    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, len_ref,
     out_ref,
     la_ref,
 ):
     """Grid (word_blocks, time_blocks), time innermost.  Block shapes:
-    feats (k_block, D, B); a (M, Nb, 2D); bias (M, Nb, 1);
+    feats (k_block, D, B); a (M, Nb, 2D) diag | (1, D*M*Nb, D) full
+    (d-major rows, the fused_em_pallas._emission_q layout: ONE MXU GEMM
+    per frame, quad accumulated over the D contiguous (M*Nb, B) slices);
+    bias_g (1, D*M*Nb, 1) full; bias (M, Nb, 1); logw (M, Nb, 1) full;
     diag (band+1, Nb, 1); out (Nb, B); scratch la (Nb, B)."""
     tb = pl.program_id(1)
     Nb = la_ref.shape[0]
@@ -105,26 +170,55 @@ def _score_kernel(
     lens = len_ref[:]  # (1, B)
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
+    clamp = jnp.float32(LOG_GAUS_CLAMP)
     row_in_word = jax.lax.broadcasted_iota(jnp.int32, (Nb, B), 0) % jnp.int32(
         s_word
     )
 
     for k in range(k_block):
         x = feats_ref[k]  # (D, B)
-        lift = jnp.concatenate([x, x * x], axis=0)
-        q0 = (
-            jnp.dot(a_ref[0], lift, preferred_element_type=jnp.float32)
-            + bias_ref[0]
-        )
-        m_s = jnp.maximum(q0, neg)
-        qs = [q0]
+        qs = []
+        if full:
+            # Cholesky z sum-of-squares (module docstring); one
+            # (D*M*Nb_pad, D) x (D, B) GEMM, then the all-positive
+            # d-slice accumulation.  Every slice offset is a multiple of
+            # the 8-sublane tile: each (d, m) plane is padded to nb_pad
+            # rows host-side (vocab_scores_pallas) — misaligned sublane
+            # slice offsets miscompile on Mosaic (hardware-debugged:
+            # offsets at multiples of 78 returned wrong scores while the
+            # interpreter was exact).  The 1e20 clamp sits between
+            # density and weight (calc_gaus R1:946-949 ->
+            # calc_symbol_probab R1:869).
+            nb_pad = a_ref.shape[1] // (n_dim * n_mix)
+            z = (
+                jnp.dot(a_ref[0], x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+                + bias_g_ref[0]
+            )  # (D*M*nb_pad, B)
+            z2 = z * z
+            mnbp = n_mix * nb_pad
+            quad = z2[0:mnbp]
+            for d in range(1, n_dim):
+                quad = quad + z2[d * mnbp : (d + 1) * mnbp]
+            for m in range(n_mix):
+                qm = (
+                    jnp.float32(-0.5) * quad[m * nb_pad : m * nb_pad + Nb]
+                    + bias_ref[m]
+                )
+                qs.append(jnp.minimum(qm, clamp) + logw_ref[m])
+        else:
+            lift = jnp.concatenate([x, x * x], axis=0)
+            for m in range(n_mix):
+                qs.append(
+                    jnp.dot(
+                        a_ref[m], lift,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    + bias_ref[m]
+                )
+        m_s = jnp.maximum(qs[0], neg)
         for m in range(1, n_mix):
-            qm = (
-                jnp.dot(a_ref[m], lift, preferred_element_type=jnp.float32)
-                + bias_ref[m]
-            )
-            qs.append(qm)
-            m_s = jnp.maximum(m_s, qm)
+            m_s = jnp.maximum(m_s, qs[m])
         e = jnp.exp(qs[0] - m_s)
         for m in range(1, n_mix):
             e = e + jnp.exp(qs[m] - m_s)
@@ -179,7 +273,9 @@ def _score_kernel(
 def vocab_scores_pallas(
     feats_tdb: jax.Array,
     a: jax.Array,
+    bias_g: jax.Array,
     bias: jax.Array,
+    logw: jax.Array,
     diag: jax.Array,
     lengths: jax.Array,
     s_word: int,
@@ -189,17 +285,22 @@ def vocab_scores_pallas(
     semiring: str = "sum",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """(T, D, B) features + packed vocab constants -> (W*S, B) final
-    log-alpha of every word at every utterance's last valid frame.
+    """(T, D, B) features + packed vocab constants (pack_vocab_constants)
+    -> (W*S, B) final log-alpha of every word at every utterance's last
+    valid frame.
 
     semiring: "sum" = forward scores (reference scoring); "max" = Viterbi.
     w_block: words per grid block (None = whole vocabulary in one block).
+    The covariance type is inferred from a's plane width (2D diag, D full).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
-    M, N, twoD = a.shape
-    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    n_planes, N, a_w = a.shape
+    assert a_w in (2 * D, D) and T % k_block == 0
+    full = a_w == D and a_w != 2 * D
+    M = n_planes // D if full else n_planes
+    assert N % s_word == 0
     W = N // s_word
     if w_block is None:
         w_block = W
@@ -209,16 +310,66 @@ def vocab_scores_pallas(
     nt = T // k_block
     lens = lengths.astype(jnp.float32).reshape(1, B)
 
+    if full:
+        # regroup the (M*D, N, D) planes into per-word-block d-major GEMM
+        # matrices (_score_kernel docstring): a6[wb, (d*M + m)*nb_pad + n,
+        # e] = a[m*D + d, wb*Nb + n, e], each (d, m) plane zero-padded to
+        # nb_pad = 8-sublane-aligned rows (misaligned slice offsets
+        # miscompile on Mosaic) — host-side constant shuffle, traced once
+        # per jit
+        nb_pad = -(-Nb // 8) * 8
+        a5 = jnp.transpose(a.reshape(M, D, nw, Nb, D), (2, 1, 0, 3, 4))
+        a5 = jnp.pad(a5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
+        a = a5.reshape(nw, D * M * nb_pad, D)
+        bg5 = jnp.transpose(bias_g.reshape(M, D, nw, Nb, 1), (2, 1, 0, 3, 4))
+        bg5 = jnp.pad(bg5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
+        bias_g = bg5.reshape(nw, D * M * nb_pad, 1)
+        a_spec = pl.BlockSpec(
+            (1, D * M * nb_pad, D),
+            lambda wb, tb: (wb, 0 * wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+        bias_g_spec = pl.BlockSpec(
+            (1, D * M * nb_pad, 1),
+            lambda wb, tb: (wb, 0 * wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        a_spec = pl.BlockSpec(
+            (M, Nb, a_w),
+            lambda wb, tb: (0 * wb, wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+        bias_g_spec = pl.BlockSpec(
+            bias_g.shape,
+            lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+    logw_spec = (
+        pl.BlockSpec(
+            (M, Nb, 1),
+            lambda wb, tb: (0 * wb, wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+        if full
+        else pl.BlockSpec(
+            logw.shape,
+            lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
+            memory_space=pltpu.VMEM,
+        )
+    )
     return pl.pallas_call(
-        partial(_score_kernel, M, k_block, band, s_word, semiring),
+        partial(_score_kernel, M, D, k_block, band, s_word, semiring, full),
         grid=(nw, nt),
         in_specs=[
             # NOTE: index maps must not return Python-int literals — under
             # jax_enable_x64 they become i64 and Mosaic cannot legalize the
             # index function's return; derive zeros from the i32 grid ids
             pl.BlockSpec((k_block, D, B), lambda wb, tb: (tb, 0 * tb, 0 * tb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, Nb, twoD), lambda wb, tb: (0 * wb, wb, 0 * wb), memory_space=pltpu.VMEM),
+            a_spec,
+            bias_g_spec,
             pl.BlockSpec((M, Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb), memory_space=pltpu.VMEM),
+            logw_spec,
             pl.BlockSpec((band + 1, Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda wb, tb: (0 * wb, 0 * wb), memory_space=pltpu.VMEM),
         ],
@@ -226,7 +377,7 @@ def vocab_scores_pallas(
         out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Nb, B), jnp.float32)],
         interpret=interpret,
-    )(feats_tdb.astype(jnp.float32), a, bias, diag, lens)
+    )(feats_tdb.astype(jnp.float32), a, bias_g, bias, logw, diag, lens)
 
 
 def score_batch_fused_lane(
@@ -240,39 +391,49 @@ def score_batch_fused_lane(
 ) -> jax.Array:
     """(B, W) scores of every utterance against every word on the fused
     lane-major scoring kernel — drop-in for decode.scorer.score_batch_log
-    on TPU for single-stream diagonal vocabularies.
+    on TPU for single-stream diagonal OR full-covariance vocabularies
+    (full cov = the reference's committed R1 fixture regime).
 
     mode: "total" (R1, logsumexp over states) or "final" (R2, last state).
     semiring="max" gives Viterbi (best-path) scores instead of forward.
+    Any (B, T) is accepted: lanes zero-pad to the 128 tile and time to the
+    k_block tile (padded lanes return -inf scores and are sliced off).
     """
     stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type != DIAG:
-        raise ValueError("score_batch_fused_lane: single diag stream only")
+    if len(vocab.streams) != 1 or stream.cov_type not in (DIAG, FULL):
+        raise ValueError("score_batch_fused_lane: single-stream diag/full only")
+    full = stream.cov_type == FULL
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     M = stream.num_mixtures
     feats = batch.features
+    lengths = batch.lengths
     B, T, D = feats.shape
-    while T % k_block:
-        k_block //= 2
     if w_block is None:
         # keep the per-frame working set (M q-planes of (Nb, B)) modest:
         # larger blocks inflate Mosaic compile time and VMEM pressure
         target = max(1, 512 // (S * max(M, 1)))
         w_block = max(d for d in range(1, W + 1) if W % d == 0 and d <= target)
     # Mosaic compile time scales with the statically-unrolled op count
-    # ~ k_block * Nb * M; cap it near the measured-fast regime (~2.5k)
-    while k_block > 8 and k_block * w_block * S * max(M, 1) > 4096:
+    # ~ k_block * Nb * M; cap near the measured-fast regime (~2.5k).  The
+    # full-cov path is ONE GEMM per frame (d-major layout) plus D vector
+    # adds — roughly twice a diag plane's op weight
+    unroll_planes = max(M, 1) * (2 if full else 1)
+    while k_block > 8 and k_block * w_block * S * unroll_planes > 4096:
         k_block //= 2
-    while T % k_block:
-        k_block //= 2
-    a, bias, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    # pad lanes/time instead of shrinking the unroll below the tile
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    if pad_b or pad_t:
+        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
     feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     la = vocab_scores_pallas(
-        feats_tdb, a, bias, diag, batch.lengths, s_word=S, band=band,
+        feats_tdb, a, bias_g, bias, logw, diag, lengths, s_word=S, band=band,
         k_block=k_block, w_block=w_block, semiring=semiring,
         interpret=interpret,
-    )  # (W*S, B)
-    la = la.reshape(W, S, B)
+    )  # (W*S, B_padded)
+    la = la.reshape(W, S, -1)[:, :, :B]
     if mode == "total":
         scores = jax.nn.logsumexp(jnp.maximum(la, NEG_INF), axis=1)  # (W, B)
         scores = jnp.where(scores > NEG_INF / 2, scores, -jnp.inf)

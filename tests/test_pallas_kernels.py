@@ -508,3 +508,90 @@ def test_fused_lane_autopad_odd_shapes():
         a = np.asarray(getattr(ref.streams[0], name))
         b = np.asarray(getattr(got.streams[0], name))
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("mode", ["total", "final"])
+def test_fused_vocab_scoring_full_cov_matches_xla(mode):
+    """Full-covariance vocabularies ride the fused scoring kernel via the
+    Cholesky z-GEMM (round-3; same formulation as the fused E-step's
+    pack_lane_constants) — must match score_batch_log for every
+    (utterance, word) pair across word blockings."""
+    from srhmm_tpu.decode.scorer import score_batch_log
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import GmmHmm, stack_models
+    from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+    rng = np.random.default_rng(0)
+    S, M, D = 5, 2, 6
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        a_rnd = r.normal(size=(S, M, D, D)) * 0.3
+        cov = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(D)[None, None]
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(np.linalg.inv(cov)),
+                    det=jnp.asarray(np.linalg.det(cov)),
+                    cov_type=FULL,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([mk(i) for i in range(6)]).astype(jnp.float32)
+    utts = [rng.normal(size=(20 + 3 * i, D)) for i in range(8)]
+    batch = pack_utterances(utts, pad_multiple=16, dtype=jnp.float32)
+
+    ref = np.asarray(score_batch_log(vocab, batch, mode=mode))
+    for wb in (None, 2):
+        got = np.asarray(
+            score_batch_fused_lane(
+                vocab, batch, mode=mode, w_block=wb, k_block=8, interpret=True
+            )
+        )
+        finite = np.isfinite(ref)
+        assert (np.isfinite(got) == finite).all()
+        np.testing.assert_allclose(
+            got[finite], ref[finite], rtol=1e-4,
+            atol=1e-5 * np.abs(ref[finite]).max(),
+        )
+
+
+def test_fused_vocab_scoring_reference_fixture_models(reference_root):
+    """The reference's committed recognition workload — the 13 FULL-COV
+    fixture models (test/test/models/*.hmm) scored by R1
+    (recognition-full-fs/recognition_continuous_full_fs.c:822-836) against
+    the 13 .perfil utterances — must ride the fused scorer and reproduce
+    the XLA scorer's scores (which are locked to the golden report) and
+    its per-utterance ranking decisions."""
+    from srhmm_tpu.decode.scorer import score_batch_log
+    from srhmm_tpu.io import read_list, read_perfil, read_vocabulary
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+    base = reference_root / "test" / "test"
+    vocab = stack_models(
+        read_vocabulary(base / "models" / "models.txt", relative_to=base.parent)
+    ).astype(jnp.float32)
+    assert vocab.streams[0].cov_type == FULL
+    perfils = [
+        np.asarray(read_perfil(base.parent / p.lstrip("./")))
+        for p in read_list(base / "perfil_data" / "mean_list.txt")
+    ]
+    batch = pack_utterances(perfils, pad_multiple=16, dtype=jnp.float32)
+
+    ref = np.asarray(score_batch_log(vocab, batch, mode="total"))
+    got = np.asarray(
+        score_batch_fused_lane(vocab, batch, mode="total", interpret=True)
+    )
+    # real speech scale: |scores| ~ 5-9e3 nats; f32 recursion keeps ~1e-4 rel
+    np.testing.assert_allclose(got, ref, rtol=3e-4)
+    assert (got.argmax(1) == ref.argmax(1)).all()
