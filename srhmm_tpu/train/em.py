@@ -683,6 +683,19 @@ def _jitted_fused_shard(mesh, axis, k_block, band, interpret, model_treedef):
     return jax.jit(fn)
 
 
+def _with_log_det(model: GmmHmm) -> GmmHmm:
+    """Ensure every stream carries a materialized log_det array (scan
+    carries need a stable pytree structure; m_step always emits one)."""
+    if all(s.log_det is not None for s in model.streams):
+        return model
+    return model.replace(
+        streams=tuple(
+            s if s.log_det is not None else s.replace(log_det=s.log_abs_det())
+            for s in model.streams
+        )
+    )
+
+
 _m_step_jit = jax.jit(m_step, static_argnames=("var_floor",))
 
 
@@ -808,6 +821,9 @@ def em_train_scan(
 
     fused=True runs the lane-major Pallas E-step (TPU; pass feats_tdb and
     band precomputed); False the XLA path (any backend/model)."""
+    # m_step always emits log_det arrays; a None input would change the
+    # scan carry's pytree structure mid-loop
+    model = _with_log_det(model)
 
     def step(m, _):
         if fused:
@@ -830,47 +846,70 @@ def train_fast(
     max_iterations: int = 100,
     var_floor: float = 0.0,
     time_mesh=None,
+    chunk: int = 8,
 ):
     """EM driver with the reference's convergence rule
     (|old - new| / |old| <= threshold, old initialized to 1.0, final pass
     not applying an update — T1:306-346).
 
+    Iterations execute in device-side em_train_scan chunks, speculatively
+    pipelined by the chunked convergence driver (train/driver.py) — the
+    trajectory is bit-identical to the per-iteration loop, but the host
+    round trip is paid once per `chunk` iterations instead of per
+    iteration (on the tunneled TPU that round trip is ~25-50 ms against
+    sub-ms iteration compute).
+
     time_mesh: optional ("time",) Mesh — run each iteration sequence-parallel
-    (em_step_time_sharded) instead of single-device/data-parallel."""
+    (em_step_time_sharded) instead of single-device/data-parallel (falls
+    back to the per-iteration loop; shard_map callables don't scan)."""
+    from .driver import chunked_convergence_train
     from .em_parity import TrainResult
+
+    if time_mesh is not None:
+        old = 1.0
+        history = []
+        iteration = 0
+        n_valid = batch.batch_size
+        while iteration < max_iterations:
+            iteration += 1
+            new_model, log_prob, num_valid = em_step_time_sharded(
+                model, batch, time_mesh, var_floor
+            )
+            log_prob = float(log_prob)
+            n_valid = int(num_valid)
+            history.append(log_prob)
+            if old != 0.0 and abs((old - log_prob) / old) <= threshold:
+                break
+            old = log_prob
+            model = new_model
+        return TrainResult(
+            model=model,
+            iterations=iteration,
+            mean_log_prob=history[-1] / max(n_valid, 1),
+            exemplar_count=n_valid,
+            log_prob_history=history,
+        )
 
     # loop-invariant fused-path precomputation: the (T, D, B) feature
     # transpose and the static transition band (the band is structural and
     # preserved by EM, so the initial model decides it once)
+    use_fused = _fused_lane_eligible(model, batch, False)
     feats_tdb = None
     band = None
-    if time_mesh is None and _fused_lane_eligible(model, batch, False):
+    if use_fused:
         from ..ops.pallas.fused_em_pallas import trans_band
 
         band = trans_band(model.trans)
         feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
 
-    old = 1.0
-    history = []
-    iteration = 0
-    n_valid = batch.batch_size
-    while iteration < max_iterations:
-        iteration += 1
-        if time_mesh is not None:
-            new_model, log_prob, num_valid = em_step_time_sharded(
-                model, batch, time_mesh, var_floor
-            )
-        else:
-            new_model, log_prob, num_valid = em_step(
-                model, batch, var_floor, feats_tdb=feats_tdb, band=band
-            )
-        log_prob = float(log_prob)
-        n_valid = int(num_valid)
-        history.append(log_prob)
-        if old != 0.0 and abs((old - log_prob) / old) <= threshold:
-            break
-        old = log_prob
-        model = new_model
+    run = lambda m, k: em_train_scan(
+        m, batch, k, feats_tdb, var_floor=var_floor, fused=use_fused,
+        band=band,
+    )
+    model, iteration, history, n_valid = chunked_convergence_train(
+        model, run, threshold=threshold, max_iterations=max_iterations,
+        chunk=chunk,
+    )
     return TrainResult(
         model=model,
         iterations=iteration,

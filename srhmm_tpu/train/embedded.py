@@ -521,6 +521,30 @@ def _unstack_stats_axis(stats: SuffStats) -> SuffStats:
     )
 
 
+@partial(jax.jit, static_argnames=("k", "var_floor", "fused"))
+def _embedded_chunk(models, packed, k, var_floor, fused):
+    """k embedded EM iterations as one lax.scan over all shape buckets
+    (the train/driver.py run_chunk contract): per iteration, bucket
+    statistics aggregate on device, then one vmapped unit M-step."""
+    from .em import _with_log_det
+
+    models = _with_log_det(models)  # stable scan-carry pytree structure
+    stats_fn = batch_stats_fused if fused else batch_stats
+
+    def step(m, _):
+        agg = None
+        for trs, feats, lengths in packed:
+            st = stats_fn(m, trs, feats, lengths)
+            agg = st if agg is None else jax.tree.map(jnp.add, agg, st)
+        new = jax.vmap(lambda mm, ss: m_step(mm, ss, var_floor=var_floor))(
+            m, _unstack_stats_axis(agg)
+        )
+        return new, (agg.log_prob, agg.num_valid)
+
+    final, (lps, nvs) = jax.lax.scan(step, models, None, length=k)
+    return final, lps, nvs
+
+
 def train_embedded(
     models: GmmHmm,
     utterances: list[np.ndarray],
@@ -529,12 +553,29 @@ def train_embedded(
     max_iterations: int = 50,
     var_floor: float = 0.0,
     pad_multiple: int = 32,
+    fused: bool | None = None,
+    chunk: int = 8,
 ):
-    """Embedded EM driver: buckets utterances by transcript length, runs
-    jitted per-bucket steps, merges statistics, converges on total log prob
-    (reference convergence semantics)."""
+    """Embedded EM driver: buckets utterances by transcript length, then
+    runs the chunked convergence driver (train/driver.py) — iterations
+    execute in device-side scans of `chunk`, speculatively pipelined, with
+    the exact reference convergence semantics.
+
+    fused=None auto-selects the fused composed-lattice Pallas E-step
+    (batch_stats_fused) exactly like embedded_em_step — the driver rides
+    the same kernels as the raw step API (round-3 fix; round 2 left the
+    driver on the XLA path and paid a host sync per bucket per
+    iteration)."""
     from ..io.dataset import round_up
+    from .driver import chunked_convergence_train
     from .em_parity import TrainResult
+
+    if fused is None:
+        fused = (
+            len(models.streams) == 1
+            and models.streams[0].cov_type == DIAG
+            and jax.default_backend() == "tpu"
+        )
 
     dtype = models.trans.dtype
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -560,31 +601,11 @@ def train_embedded(
             )
         )
 
-    old = 1.0
-    history = []
-    iteration = 0
-    n_valid = 0
-    while iteration < max_iterations:
-        iteration += 1
-        total_lp = 0.0
-        n_valid = 0
-        agg_stats = None
-        for trs, feats, lengths in packed:
-            stats = batch_stats(models, trs, feats, lengths)
-            total_lp += float(stats.log_prob)
-            n_valid += int(stats.num_valid)
-            agg_stats = (
-                stats
-                if agg_stats is None
-                else jax.tree.map(jnp.add, agg_stats, stats)
-            )
-        history.append(total_lp)
-        if old != 0.0 and abs((old - total_lp) / old) <= threshold:
-            break
-        old = total_lp
-        models = jax.vmap(
-            lambda m, s: m_step(m, s, var_floor=var_floor)
-        )(models, _unstack_stats_axis(agg_stats))
+    run = lambda m, k: _embedded_chunk(m, tuple(packed), k, var_floor, fused)
+    models, iteration, history, n_valid = chunked_convergence_train(
+        models, run, threshold=threshold, max_iterations=max_iterations,
+        chunk=chunk,
+    )
     return TrainResult(
         model=models,
         iterations=iteration,

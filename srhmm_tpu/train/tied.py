@@ -261,23 +261,48 @@ def tied_em_step(
     reference structure); fused=False forces the XLA path."""
     if fused is None:
         fused = tied.senones.cov_type != FULL and jax.default_backend() == "tpu"
-    sen_stats, den_mix, num_trans, den_trans, log_prob, valid = (
-        tied_batch_stats_fused if fused else tied_batch_stats
-    )(tied, transcripts, feats, lengths)
+    stats = (tied_batch_stats_fused if fused else tied_batch_stats)(
+        tied, transcripts, feats, lengths
+    )
+    return _apply_tied_update(tied, stats, var_floor), stats[4], stats[5]
 
+
+def _apply_tied_update(tied: TiedHmmSet, stats, var_floor: float) -> TiedHmmSet:
+    """Tied M-step from aggregated statistics (shared by tied_em_step and
+    the train_tied driver): senone emission update + per-unit banded
+    transition row-normalization."""
+    sen_stats, den_mix, num_trans, den_trans = stats[0], stats[1], stats[2], stats[3]
     senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
-
     band = (tied.trans > 0).astype(tied.trans.dtype)  # per-unit support mask
     trans_new = jnp.where(
         (den_trans > 0)[..., None],
         band * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
         tied.trans,
     )
-    return (
-        tied.replace(senones=senones, trans=trans_new),
-        log_prob,
-        valid,
-    )
+    return tied.replace(senones=senones, trans=trans_new)
+
+
+@partial(jax.jit, static_argnames=("k", "var_floor", "fused"))
+def _tied_chunk(tied, packed, k, var_floor, fused):
+    """k tied EM iterations as one lax.scan over all shape buckets (the
+    train/driver.py run_chunk contract)."""
+    from .em import _with_log_det
+
+    if tied.senones.log_det is None:  # stable scan-carry pytree structure
+        tied = tied.replace(
+            senones=tied.senones.replace(log_det=tied.senones.log_abs_det())
+        )
+    stats_fn = tied_batch_stats_fused if fused else tied_batch_stats
+
+    def step(t, _):
+        agg = None
+        for trs, feats, lengths in packed:
+            st = stats_fn(t, trs, feats, lengths)
+            agg = st if agg is None else jax.tree.map(jnp.add, agg, st)
+        return _apply_tied_update(t, agg, var_floor), (agg[4], agg[5])
+
+    final, (lps, nvs) = jax.lax.scan(step, tied, None, length=k)
+    return final, lps, nvs
 
 
 def train_tied(
@@ -288,11 +313,21 @@ def train_tied(
     max_iterations: int = 50,
     var_floor: float = 0.0,
     pad_multiple: int = 32,
+    fused: bool | None = None,
+    chunk: int = 8,
 ):
-    """Tied-state embedded EM driver (bucketed by shape, reference
-    convergence semantics)."""
+    """Tied-state embedded EM driver (bucketed by shape): iterations run
+    in device-side scans of `chunk`, speculatively pipelined by the
+    chunked convergence driver (train/driver.py), with the exact
+    reference convergence semantics.  fused=None auto-selects the fused
+    composed-lattice Pallas E-step exactly like tied_em_step (round-3
+    fix: the driver rides the same kernels as the raw step API)."""
     from ..io.dataset import round_up
+    from .driver import chunked_convergence_train
     from .em_parity import TrainResult
+
+    if fused is None:
+        fused = tied.senones.cov_type != FULL and jax.default_backend() == "tpu"
 
     dtype = tied.trans.dtype
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -310,33 +345,11 @@ def train_tied(
             trs[row] = transcripts[i]
         packed.append((jnp.asarray(trs), jnp.asarray(f, dtype), jnp.asarray(ln)))
 
-    old = 1.0
-    history = []
-    iteration = 0
-    n_valid = 0
-    while iteration < max_iterations:
-        iteration += 1
-        total_lp = 0.0
-        n_valid = 0
-        agg = None  # raw stats accumulated across shape buckets
-        for trs, f, ln in packed:
-            stats = tied_batch_stats(tied, trs, f, ln)
-            total_lp += float(stats[4])
-            n_valid += int(stats[5])
-            agg = stats if agg is None else jax.tree.map(jnp.add, agg, stats)
-        history.append(total_lp)
-        if old != 0.0 and abs((old - total_lp) / old) <= threshold:
-            break
-        old = total_lp
-        sen_stats, den_mix, num_trans, den_trans = agg[0], agg[1], agg[2], agg[3]
-        senones = update_stream(tied.senones, sen_stats, den_mix, var_floor)
-        band = (tied.trans > 0).astype(tied.trans.dtype)
-        trans_new = jnp.where(
-            (den_trans > 0)[..., None],
-            band * num_trans / jnp.where(den_trans > 0, den_trans, 1.0)[..., None],
-            tied.trans,
-        )
-        tied = tied.replace(senones=senones, trans=trans_new)
+    run = lambda t, k: _tied_chunk(t, tuple(packed), k, var_floor, fused)
+    tied, iteration, history, n_valid = chunked_convergence_train(
+        tied, run, threshold=threshold, max_iterations=max_iterations,
+        chunk=chunk,
+    )
     return TrainResult(
         model=tied,
         iterations=iteration,

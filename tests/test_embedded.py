@@ -185,3 +185,30 @@ def test_embedded_em_step_fused_trains_identically():
         np.asarray(mx.streams[0].means),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_train_embedded_driver_fused_matches_xla(setup):
+    """The train_embedded DRIVER must produce the same trajectory on the
+    fused composed-lattice kernels as on the XLA path (round-3 fix: the
+    driver now auto-selects batch_stats_fused like embedded_em_step)."""
+    stacked, utts, transcripts = setup
+    rng = np.random.default_rng(5)
+    st = stacked.streams[0]
+    perturbed = stacked.replace(
+        streams=(st.replace(means=st.means + 0.5 * rng.normal(size=st.means.shape)),)
+    )
+    r_xla = train_embedded(
+        perturbed, utts, transcripts, threshold=1e-4, max_iterations=5, fused=False
+    )
+    r_fused = train_embedded(
+        perturbed, utts, transcripts, threshold=1e-4, max_iterations=5, fused=True
+    )
+    assert r_fused.iterations == r_xla.iterations
+    np.testing.assert_allclose(
+        r_fused.log_prob_history, r_xla.log_prob_history, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.model.streams[0].means),
+        np.asarray(r_xla.model.streams[0].means),
+        rtol=2e-3, atol=2e-3,
+    )

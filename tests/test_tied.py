@@ -189,3 +189,28 @@ def test_tied_batch_stats_fused_matches_xla():
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max()))
     np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
     assert float(got[5]) == float(ref[5])
+
+
+def test_train_tied_driver_fused_matches_xla(setup):
+    """The train_tied DRIVER must produce the same trajectory on the fused
+    composed-lattice kernels as on the XLA path (round-3 fix: the driver
+    now auto-selects tied_batch_stats_fused like tied_em_step)."""
+    stacked, utts, transcripts = setup
+    P, S = stacked.trans.shape[0], stacked.trans.shape[-1]
+    sm = np.arange(P * S).reshape(P, S) % (P * S // 2)  # 2-way sharing
+    tied = tie_from_models(stacked, sm.astype(np.int32))
+    r_xla = train_tied(
+        tied, utts, transcripts, threshold=1e-4, max_iterations=4, fused=False
+    )
+    r_fused = train_tied(
+        tied, utts, transcripts, threshold=1e-4, max_iterations=4, fused=True
+    )
+    assert r_fused.iterations == r_xla.iterations
+    np.testing.assert_allclose(
+        r_fused.log_prob_history, r_xla.log_prob_history, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fused.model.senones.means),
+        np.asarray(r_xla.model.senones.means),
+        rtol=2e-3, atol=2e-3,
+    )
