@@ -22,7 +22,8 @@ the recorded output.
    audio second.  Baseline: the C recognizer's implied RTF 0.021
    (hmm-result.txt: 0.03 s per 1.42 s utterance; BASELINE.md).
 
-3. Suite configs 2/4/5 (bench/suite.py): 10-word 4-mix EM, 40-monophone
+3. All five suite configs (bench/suite.py): reference-scale EM, 10-word
+   4-mix EM, continuous word-loop decode RTF (W=10/200), 40-monophone
    32-mix embedded re-estimation, 2k-senone tied-state EM.
 """
 
@@ -300,14 +301,14 @@ def bench_reference(utts) -> float | None:
 def main():
     utts = make_dataset()
 
-    # suite configs 2/4/5 — each is independent; failures don't block the
-    # headline metrics
+    # all five suite configs — each is independent; failures don't block
+    # the headline metrics
     try:
         from srhmm_tpu.bench import suite
         import numpy as np
 
         rng = np.random.default_rng(0)
-        for c in (2, 4, 5):
+        for c in (1, 2, 3, 4, 5):
             try:
                 print(json.dumps(suite.CONFIGS[c](rng)), flush=True)
             except Exception as e:  # pragma: no cover

@@ -22,6 +22,11 @@ Optional leading flags:
     --checkpoint-dir D
                       (fast path) checkpoint every EM iteration to D and
                       resume from the newest complete checkpoint
+    --scan-iters N    (fast path) fixed-budget production mode: run exactly
+                      N EM iterations as ONE jitted lax.scan
+                      (train/em.em_train_scan — no per-iteration program
+                      launches or host syncs; the 0.63 ms/iter trainer from
+                      PERF.md), skipping the reference's convergence rule
 
 The reference's warm-start bug (argv[argc] off-by-one, T1:204, which made the
 documented initial_model argument unusable) is fixed, not replicated.
@@ -41,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--size-t-width", type=int, default=4)
     ap.add_argument("--numerics", choices=["parity", "fast"], default="parity")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--scan-iters", type=int, default=None)
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     ns = ap.parse_args(argv)
     rest = ns.rest
@@ -140,7 +146,34 @@ def main(argv: list[str] | None = None) -> int:
         batch = batches[0] if len(batches) == 1 else batches
         fast_model = model.astype(jnp.float32)
         with log.span("train_fast", word=word):
-            if ns.checkpoint_dir:
+            if ns.scan_iters:
+                # fixed-budget production mode: N iterations as ONE jitted
+                # scan, zero host round trips inside the loop
+                import numpy as np
+
+                from ..ops.pallas.fused_em_pallas import trans_band
+                from ..train.em import _fused_lane_eligible, em_train_scan
+                from ..train.em_parity import TrainResult
+
+                use_fused = _fused_lane_eligible(fast_model, batch, False)
+                feats_tdb = band = None
+                if use_fused:
+                    band = trans_band(fast_model.trans)
+                    feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
+                final, lps, nvs = em_train_scan(
+                    fast_model, batch, ns.scan_iters, feats_tdb,
+                    fused=use_fused, band=band,
+                )
+                lps_h = np.asarray(lps)
+                nv = int(np.asarray(nvs)[-1])
+                res = TrainResult(
+                    model=final,
+                    iterations=ns.scan_iters,
+                    mean_log_prob=float(lps_h[-1]) / max(nv, 1),
+                    exemplar_count=nv,
+                    log_prob_history=[float(x) for x in lps_h],
+                )
+            elif ns.checkpoint_dir:
                 from ..train.checkpoint import train_fast_resumable
 
                 res = train_fast_resumable(

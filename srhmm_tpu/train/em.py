@@ -61,6 +61,70 @@ class SuffStats:
     num_valid: jax.Array  # scalar: utterances with finite log P
 
 
+def gmm_moment_stats(gm, feats, cov_type, stat_in=None, origin=None):
+    """Occupancy-weighted GMM moment statistics as single-pass GEMMs — the
+    one implementation behind the isolated (e_step), lane-major, embedded,
+    and tied E-steps.
+
+    gm: (N, G, M) mixture occupancy (gamma * posterior) over N frames and
+    G groups (states, transcript positions, or senones); feats: (N, D).
+    Returns (w (G, M), x (G, M, D), xx (G, M, D, D) full | (G, M, D) diag)
+    in feature space.
+
+    The big (N, G, M) tensor is read from HBM ONCE for all statistics: the
+    diag path contracts the fused [y, y^2, 1] lift in one GEMM; full
+    covariance needs a second contraction for the (D, D) moment.
+
+    stat_in: optional low-precision input dtype (bf16) for the GEMMs (f32
+    accumulation on the MXU); origin: optional (D,) shift o — moments are
+    computed about o and exactly unshifted via
+    sum g x = sum g y + o sum g and the binomial identity for the second
+    moment, so low-precision rounding is relative to CENTERED magnitudes
+    (see _per_utterance_stats' rounding-error note)."""
+    dtype = feats.dtype
+    D = feats.shape[-1]
+    si = stat_in or dtype
+    ones = jnp.ones_like(feats[:, :1])
+    o = jnp.zeros((D,), dtype) if origin is None else origin
+    y = feats - o
+    gmc = gm.astype(si)
+    if cov_type == FULL:
+        # one GEMM pass over gm for (y, w); the (D, D) moment needs its
+        # own contraction
+        smk = jnp.einsum(
+            "ngm,nk->gmk",
+            gmc,
+            jnp.concatenate([y, ones], -1).astype(si),
+            preferred_element_type=dtype,
+        )
+        ys, w = smk[..., :D], smk[..., D]
+        yy = jnp.einsum(
+            "ngm,nd,ne->gmde",
+            gmc,
+            y.astype(si),
+            y.astype(si),
+            preferred_element_type=dtype,
+        )
+        x = ys + o * w[..., None]
+        xx = (
+            yy
+            + o[:, None] * ys[..., None, :]
+            + ys[..., :, None] * o[None, :]
+            + (o[:, None] * o[None, :]) * w[..., None, None]
+        )
+    else:
+        smk = jnp.einsum(
+            "ngm,nk->gmk",
+            gmc,
+            jnp.concatenate([y, y * y, ones], -1).astype(si),
+            preferred_element_type=dtype,
+        )
+        ys, yy, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
+        x = ys + o * w[..., None]
+        xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
+    return w.astype(dtype), x.astype(dtype), xx.astype(dtype)
+
+
 def _per_utterance_stats(
     model: GmmHmm, feats, length: jax.Array, bf16_stats: bool = False
 ):
@@ -131,57 +195,19 @@ def _per_utterance_stats(
     stat_in = jnp.bfloat16 if bf16_stats else dtype
     stream_stats = []
     for stream, post, sf in zip(model.streams, posts, feats_per_stream):
-        gm = (gamma[:, :, None] * post).astype(stat_in)  # (T, S, M)
-        D = sf.shape[-1]
-        ones = jnp.ones_like(sf[:, :1])
+        gm = gamma[:, :, None] * post  # (T, S, M)
         # shifted origin for bf16: center features on the stream's mean of
         # means so the bf16 rounding is relative to centered magnitudes (see
-        # docstring); o == 0 keeps the f32 path bit-identical to before
+        # docstring); o == None keeps the f32 path bit-identical to before
         o = (
             jnp.mean(stream.means.astype(dtype), axis=(0, 1))
             if bf16_stats
-            else jnp.zeros((D,), dtype)
+            else None
         )
-        y = sf - o
-        if stream.cov_type == FULL:
-            # one GEMM pass over gm for (y, w); the (D, D) moment needs its
-            # own contraction
-            smk = jnp.einsum(
-                "tsm,tk->smk",
-                gm,
-                jnp.concatenate([y, ones], -1).astype(stat_in),
-                preferred_element_type=dtype,
-            )
-            ys, w = smk[..., :D], smk[..., D]
-            yy = jnp.einsum(
-                "tsm,td,te->smde",
-                gm,
-                y.astype(stat_in),
-                y.astype(stat_in),
-                preferred_element_type=dtype,
-            )
-            x = ys + o * w[..., None]
-            xx = (
-                yy
-                + o[:, None] * ys[..., None, :]
-                + ys[..., :, None] * o[None, :]
-                + (o[:, None] * o[None, :]) * w[..., None, None]
-            )
-        else:
-            # fused [y, y^2, 1] moment GEMM: gm — the big (T, S, M) tensor —
-            # is read from HBM ONCE for all three statistics instead of three
-            # separate contractions (the stat einsums dominate E-step HBM
-            # traffic at production shapes)
-            smk = jnp.einsum(
-                "tsm,tk->smk",
-                gm,
-                jnp.concatenate([y, y * y, ones], -1).astype(stat_in),
-                preferred_element_type=dtype,
-            )
-            ys, yy, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
-            x = ys + o * w[..., None]
-            xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
-        stream_stats.append(StreamStats(w=w.astype(dtype), x=x.astype(dtype), xx=xx.astype(dtype)))
+        w, x, xx = gmm_moment_stats(
+            gm, sf, stream.cov_type, stat_in=stat_in, origin=o
+        )
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return SuffStats(
@@ -1059,30 +1085,12 @@ def e_step_lane_major(
 
     gamma_bts = jnp.transpose(gamma_tsb, (2, 0, 1))  # (B, T, S)
     stream_stats = []
-    ones = jnp.ones_like(feats[..., :1])
+    flat_feats = feats.reshape(B * T, D)
     for stream, post in zip(model.streams, posts):
         gm = gamma_bts[..., None] * post  # (B, T, S, M)
-        if stream.cov_type == FULL:
-            smk = jnp.einsum(
-                "btsm,btk->smk",
-                gm,
-                jnp.concatenate([feats, ones], -1),
-                preferred_element_type=dtype,
-            )
-            x, w = smk[..., :D], smk[..., D]
-            xx = jnp.einsum(
-                "btsm,btd,bte->smde", gm, feats, feats,
-                preferred_element_type=dtype,
-            )
-        else:
-            # single-pass [x, x^2, 1] moment GEMM (see _per_utterance_stats)
-            smk = jnp.einsum(
-                "btsm,btk->smk",
-                gm,
-                jnp.concatenate([feats, feats * feats, ones], -1),
-                preferred_element_type=dtype,
-            )
-            x, xx, w = smk[..., :D], smk[..., D : 2 * D], smk[..., 2 * D]
+        w, x, xx = gmm_moment_stats(
+            gm.reshape(B * T, S, -1), flat_feats, stream.cov_type
+        )
         stream_stats.append(StreamStats(w=w, x=x, xx=xx))
 
     return SuffStats(

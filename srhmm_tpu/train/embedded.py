@@ -34,7 +34,7 @@ import numpy as np
 from ..models.gmm_hmm import DIAG, FULL, GmmHmm
 from ..ops.emission import log_mixture_posteriors
 from ..ops.forward_backward import log_backward_full, log_forward_full
-from .em import StreamStats, SuffStats, m_step
+from .em import StreamStats, SuffStats, gmm_moment_stats, m_step
 
 
 def _composed_log_trans(unit_log_trans: jax.Array) -> jax.Array:
@@ -138,32 +138,14 @@ def utterance_stats_positional(
 
     stream_stats = []
     for si, stream in enumerate(models.streams):
-        post_pos = pos_posts[si].reshape(T, L, S, -1)
-        gm = gamma[..., None] * post_pos  # (T, L, S, M)
-        D = feats.shape[-1]
-        ones = jnp.ones_like(feats[:, :1])
-        if stream.cov_type == FULL:
-            lsk = jnp.einsum(
-                "tlsm,tk->lsmk",
-                gm,
-                jnp.concatenate([feats, ones], -1),
-                preferred_element_type=dtype,
-            )
-            x, w = lsk[..., :D], lsk[..., D]
-            xx = jnp.einsum(
-                "tlsm,td,te->lsmde", gm, feats, feats,
-                preferred_element_type=dtype,
-            )
-        else:
-            # single-pass [x, x^2, 1] moment GEMM over gm (train/em.py)
-            lsk = jnp.einsum(
-                "tlsm,tk->lsmk",
-                gm,
-                jnp.concatenate([feats, feats * feats, ones], -1),
-                preferred_element_type=dtype,
-            )
-            x, xx, w = lsk[..., :D], lsk[..., D : 2 * D], lsk[..., 2 * D]
-        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+        gm = gamma.reshape(T, L * S)[..., None] * pos_posts[si]  # (T, LS, M)
+        # shared single-pass moment GEMMs (train/em.gmm_moment_stats),
+        # grouped over the L*S transcript positions
+        w, x, xx = gmm_moment_stats(gm, feats, stream.cov_type)
+        unflat = lambda a: a.reshape(L, S, *a.shape[1:])
+        stream_stats.append(
+            StreamStats(w=unflat(w), x=unflat(x), xx=unflat(xx))
+        )
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return SuffStats(

@@ -24,7 +24,7 @@ from ..models.gmm_hmm import FULL
 from ..models.tying import TiedHmmSet
 from ..ops.emission import log_mixture_posteriors
 from ..ops.forward_backward import log_backward_full, log_forward_full
-from .em import StreamStats, update_stream
+from .em import StreamStats, gmm_moment_stats, update_stream
 from .embedded import _composed_log_trans
 
 
@@ -102,29 +102,9 @@ def tied_utterance_stats_positional(
     gm_ls = gamma.reshape(T, L * S)[..., None] * pos_post  # (T, LS, M)
 
     den_mix_pos = gamma.reshape(T, L * S).sum(0)  # (LS,)
-    D = feats.shape[-1]
-    ones = jnp.ones_like(feats[:, :1])
-    if tied.senones.cov_type == FULL:
-        lmk = jnp.einsum(
-            "tlm,tk->lmk",
-            gm_ls,
-            jnp.concatenate([feats, ones], -1),
-            preferred_element_type=dtype,
-        )
-        x, w = lmk[..., :D], lmk[..., D]
-        xx = jnp.einsum(
-            "tlm,td,te->lmde", gm_ls, feats, feats,
-            preferred_element_type=dtype,
-        )
-    else:
-        # single-pass [x, x^2, 1] moment GEMM over gm_ls (train/em.py)
-        lmk = jnp.einsum(
-            "tlm,tk->lmk",
-            gm_ls,
-            jnp.concatenate([feats, feats * feats, ones], -1),
-            preferred_element_type=dtype,
-        )
-        x, xx, w = lmk[..., :D], lmk[..., D : 2 * D], lmk[..., 2 * D]
+    # shared single-pass moment GEMMs (train/em.gmm_moment_stats), grouped
+    # over the L*S transcript positions
+    w, x, xx = gmm_moment_stats(gm_ls, feats, tied.senones.cov_type)
 
     zero = lambda a: jnp.where(valid, a, jnp.zeros_like(a))
     return (

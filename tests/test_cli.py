@@ -201,3 +201,44 @@ def test_features_cli_wav_to_perfil(tmp_path):
     feats = read_perfil(out_dir / "tone.perfil")
     assert feats.shape == (98, 13)
     assert np.isfinite(feats).all()
+
+
+def test_train_cli_scan_iters_fixed_budget(reference_root, tmp_path):
+    """--scan-iters N (fast path) trains a fixed N-iteration budget through
+    em_train_scan (one jitted scan, no convergence host syncs) and writes a
+    valid model + text summary reporting exactly N iterations."""
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "train" / "test", run / "test")
+    (run / "test" / "parameters.txt").write_text(
+        "./test/perfil_data/mean_vc_186_f_03_ap_0225.perfil\n"
+    )
+    r = _run(
+        [
+            "srhmm_tpu.cli.train",
+            "--numerics", "fast",
+            "--scan-iters", "4",
+            "vc_186_f_03_ap_0225",
+            "6",
+            "1",
+            "1",
+            "./test/parameters.txt",
+            "./test/out.hmm",
+        ],
+        cwd=run,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "after 4 iterations" in r.stdout
+    got = read_hmm(run / "test" / "out.hmm")
+    assert got.num_states == 6
+    # the fixed-budget model should be close to the converged golden one
+    gold = read_hmm(
+        reference_root / "train" / "test" / "result" / "mean_vc_186_f_03_ap_0225.hmm"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.streams[0].means),
+        np.asarray(gold.streams[0].means),
+        rtol=5e-2, atol=5e-2,
+    )
+    txt = (run / "test" / "out.txt").read_text()
+    assert "number of iterations: 4" in txt
