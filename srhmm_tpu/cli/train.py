@@ -27,6 +27,15 @@ Optional leading flags:
                       (train/em.em_train_scan — no per-iteration program
                       launches or host syncs; the 0.63 ms/iter trainer from
                       PERF.md), skipping the reference's convergence rule
+    --cmvn global     (fast path) train in globally mean/variance-normalized
+                      feature space and de-normalize the exported model —
+                      the f32 precision lever for raw-scale features (the
+                      .perfil profiles reach |x| ~ 3e3, where f32 moment
+                      statistics lose ~mean^2/variance of their precision);
+                      EM is exactly equivariant under the affine map, so
+                      the exported raw-space model and the reported mean
+                      probability (Jacobian-corrected) are unchanged up to
+                      float rounding
 
 The reference's warm-start bug (argv[argc] off-by-one, T1:204, which made the
 documented initial_model argument unusable) is fixed, not replicated.
@@ -47,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--numerics", choices=["parity", "fast"], default="parity")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--scan-iters", type=int, default=None)
+    ap.add_argument("--cmvn", choices=["off", "global"], default="off")
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     ns = ap.parse_args(argv)
     rest = ns.rest
@@ -114,6 +124,53 @@ def main(argv: list[str] | None = None) -> int:
             ]
             for b in batches_f64
         ]
+        cmvn_stats = None
+        cmvn_offset = 0.0
+        cmvn_abs_floors = None
+        cmvn_zd = None
+        if ns.cmvn == "global":
+            # train in globally-normalized feature space (the f32 precision
+            # lever, features.frontend.global_cmvn_stats): EM is exactly
+            # equivariant under the affine map, and the trained model is
+            # de-normalized back to raw space before export
+            from ..features.frontend import global_cmvn_stats
+
+            cmvn_stats = [
+                global_cmvn_stats(b.features, b.lengths) for b in batches_f64
+            ]
+            # NOTE: the LBG init still runs on RAW utterances (its isotropic
+            # Euclidean metric is not affine-equivariant, so normalizing the
+            # init data would change the starting model); the raw-space
+            # initial model is mapped into normalized space below
+            # constant Jacobian correction: log p_raw = log p_norm -
+            # frames * sum(log std) per stream — applied INSIDE the
+            # convergence rule (the reference's relative-change test is not
+            # shift-invariant) and to every reported probability
+            import numpy as np
+
+            cmvn_offset = -sum(
+                int(np.asarray(b.lengths).sum()) * float(np.log(s).sum())
+                for b, (_, s) in zip(batches_f64, cmvn_stats)
+            )
+            batches_f64 = tuple(
+                b.replace(features=(b.features - m) / s)
+                for b, (m, s) in zip(batches_f64, cmvn_stats)
+            )
+            # the reference's ABSOLUTE 1e-5 variance floor must scale with
+            # the transform to act at raw-space magnitudes (train/em
+            # .update_stream abs_floor)
+            from ..models.gmm_hmm import FINITE_PROBAB
+
+            cmvn_abs_floors = tuple(
+                jnp.asarray(FINITE_PROBAB / (s * s), jnp.float32)
+                for (_, s) in cmvn_stats
+            )
+            # ... as must the treat_zero_det trigger (log 1e-20, also an
+            # absolute raw-space quantity)
+            cmvn_zd = tuple(
+                float(np.log(1e-20) - 2.0 * np.log(s).sum())
+                for (_, s) in cmvn_stats
+            )
         batches = tuple(
             b.replace(features=b.features.astype(jnp.float32))
             for b in batches_f64
@@ -144,6 +201,16 @@ def main(argv: list[str] | None = None) -> int:
 
         log = EventLog()
         batch = batches[0] if len(batches) == 1 else batches
+        if ns.cmvn == "global":
+            # the initial model (LBG or warm start) is in raw feature
+            # space; map it into the normalized space the batch lives in
+            # (the inverse affine: denormalize with mean' = -m/s,
+            # std' = 1/s)
+            from ..models.gmm_hmm import denormalize_model
+
+            model = denormalize_model(
+                model, [(-m / s, 1.0 / s) for (m, s) in cmvn_stats]
+            )
         fast_model = model.astype(jnp.float32)
         with log.span("train_fast", word=word):
             if ns.scan_iters:
@@ -162,9 +229,10 @@ def main(argv: list[str] | None = None) -> int:
                     feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
                 final, lps, nvs = em_train_scan(
                     fast_model, batch, ns.scan_iters, feats_tdb,
-                    fused=use_fused, band=band,
+                    fused=use_fused, band=band, abs_floors=cmvn_abs_floors,
+                    zero_det_thresholds=cmvn_zd,
                 )
-                lps_h = np.asarray(lps)
+                lps_h = np.asarray(lps) + cmvn_offset
                 nv = int(np.asarray(nvs)[-1])
                 res = TrainResult(
                     model=final,
@@ -178,14 +246,25 @@ def main(argv: list[str] | None = None) -> int:
 
                 res = train_fast_resumable(
                     fast_model, batch, ns.checkpoint_dir,
-                    threshold=ns.threshold,
+                    threshold=ns.threshold, log_prob_offset=cmvn_offset,
                 )
             else:
-                res = train_fast(fast_model, batch, threshold=ns.threshold)
+                res = train_fast(
+                    fast_model, batch, threshold=ns.threshold,
+                    log_prob_offset=cmvn_offset, abs_floors=cmvn_abs_floors,
+                    zero_det_thresholds=cmvn_zd,
+                )
         log.emit(
             "converged", iterations=res.iterations,
             mean_log_prob=res.mean_log_prob,
         )
+        if cmvn_stats is not None:
+            from ..models.gmm_hmm import denormalize_model
+
+            # back to raw feature space (exact inverse affine); reported
+            # probabilities already carry the Jacobian offset
+            res.model = denormalize_model(res.model, cmvn_stats)
+
         # export in float64 (file contract); recompute linear det from
         # log_det on the host
         import numpy as np

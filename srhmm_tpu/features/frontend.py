@@ -199,3 +199,33 @@ def cmvn(
         var = jnp.sum(centered * centered, axis=-2, keepdims=True) / n
         centered = centered * jax.lax.rsqrt(var + eps)
     return jnp.where(mask > 0, centered, feats)
+
+
+def global_cmvn_stats(
+    feats: jax.Array, lengths: jax.Array | None = None, eps: float = 1.0e-8
+):
+    """Corpus-level mean/std over the valid frames of a padded (B, T, D)
+    batch.  Returns ((D,) mean, (D,) std) in float64 host precision.
+
+    This is the fast trainer's PRECISION lever (PERF.md "Accuracy"): EM is
+    exactly equivariant under the affine map y = (x - mean)/std (densities
+    pick up a constant Jacobian, occupancies are unchanged), so training in
+    normalized space and de-normalizing the result (models.gmm_hmm
+    .denormalize_model) reproduces raw-space training — but the f32 moment
+    GEMMs now round relative to O(1) magnitudes instead of the raw feature
+    scale (the .perfil profiles reach |x| ~ 3e3, where f32 second moments
+    lose ~mean^2/variance of their precision)."""
+    import numpy as np
+
+    f = np.asarray(feats, np.float64)
+    if f.ndim == 2:
+        f = f[None]
+    if lengths is None:
+        valid = np.ones(f.shape[:2], bool)
+    else:
+        ln = np.asarray(lengths).reshape(-1)
+        valid = np.arange(f.shape[1])[None, :] < ln[:, None]
+    sel = f[valid]  # (n_frames, D)
+    mean = sel.mean(0)
+    std = np.sqrt(np.maximum(sel.var(0), eps))
+    return mean, std

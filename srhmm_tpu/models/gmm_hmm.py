@@ -283,3 +283,48 @@ def validate_model(model: GmmHmm, atol: float = 1e-3) -> list[str]:
         if badw.any():
             problems.append(f"stream {si} mixture weight sums off: {w_sums[badw]}")
     return problems
+
+
+def denormalize_stream(stream: GmmStream, mean, std) -> GmmStream:
+    """Map a stream trained on y = (x - mean)/std back to raw feature
+    space (the exact inverse affine transform):
+
+        mu_x = std * mu_y + mean
+        Sigma_x = S Sigma_y S          (S = diag(std))
+        Sigma_x^{-1} = S^{-1} Sigma_y^{-1} S^{-1}
+        log|Sigma_x| = log|Sigma_y| + 2 sum log std
+
+    Together with features.frontend.global_cmvn_stats this makes the fast
+    trainer's normalized-space EM export raw-space .hmm models."""
+    import numpy as np
+
+    m = jnp.asarray(mean, stream.means.dtype)
+    s = jnp.asarray(std, stream.means.dtype)
+    means = stream.means * s + m
+    if stream.cov_type == FULL:
+        inv_cov = stream.inv_cov / (s[:, None] * s[None, :])
+    else:
+        inv_cov = stream.inv_cov / (s * s)
+    # log-space determinant update avoids overflowing the linear det
+    log_det = stream.log_abs_det() + 2.0 * jnp.sum(
+        jnp.log(jnp.asarray(std, jnp.float64)).astype(stream.means.dtype)
+    )
+    return stream.replace(
+        means=means,
+        inv_cov=inv_cov,
+        det=jnp.exp(log_det),
+        log_det=log_det,
+    )
+
+
+def denormalize_model(model: GmmHmm, stats) -> GmmHmm:
+    """denormalize_stream over every stream; stats: list of (mean, std)
+    per stream (or a single pair for single-stream models)."""
+    if not isinstance(stats, list):
+        stats = [stats]
+    return model.replace(
+        streams=tuple(
+            denormalize_stream(st, m, s)
+            for st, (m, s) in zip(model.streams, stats)
+        )
+    )

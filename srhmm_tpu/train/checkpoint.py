@@ -108,6 +108,7 @@ def train_fast_resumable(
     threshold: float = 1.0e-3,
     max_iterations: int = 100,
     var_floor: float = 0.0,
+    log_prob_offset: float = 0.0,
 ):
     """train_fast with per-iteration checkpointing and automatic resume.
 
@@ -127,7 +128,7 @@ def train_fast_resumable(
     while state.iteration < max_iterations:
         state.iteration += 1
         new_model, log_prob, num_valid = em_step(model, batch, var_floor)
-        log_prob = float(log_prob)
+        log_prob = float(log_prob) + log_prob_offset
         n_valid = int(num_valid)
         state.history.append(log_prob)
         if state.old_log_prob != 0.0 and (

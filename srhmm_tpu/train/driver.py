@@ -41,8 +41,14 @@ def chunked_convergence_train(
     max_iterations: int = 100,
     chunk: int = 8,
     pipeline: int = 2,
+    log_prob_offset: float = 0.0,
 ):
     """Run `run_chunk` under the reference convergence rule.
+
+    log_prob_offset is added to every fetched log prob before the
+    convergence test and before recording history — used by CMVN-normalized
+    training to apply the constant Jacobian correction INSIDE the rule (the
+    reference's relative-change test is not shift-invariant).
 
     Returns (final_state, iterations, log_prob_history, last_num_valid).
     `run_chunk(state, k)` must run k EM iterations on device and return
@@ -80,7 +86,7 @@ def chunked_convergence_train(
         nvs_h = np.asarray(nvs)  # keep running on device meanwhile
         for j in range(k):
             iteration += 1
-            lp = float(lps_h[j])
+            lp = float(lps_h[j]) + log_prob_offset
             history.append(lp)
             n_valid = int(nvs_h[j])
             if old != 0.0 and abs((old - lp) / old) <= threshold:

@@ -248,13 +248,31 @@ def e_step(model: GmmHmm, batch, bf16_stats: bool = False) -> SuffStats:
 
 
 def update_stream(
-    stream: GmmStream, st: StreamStats, den_mix: jax.Array, var_floor: float = 0.0
+    stream: GmmStream,
+    st: StreamStats,
+    den_mix: jax.Array,
+    var_floor: float = 0.0,
+    abs_floor=None,
+    zero_det_threshold=None,
 ) -> GmmStream:
     """Emission-parameter update for one stream from its sufficient stats
     (the GMM half of the M-step; shared by isolated, embedded, and
     tied-state training).  Leading axes of the arrays are arbitrary — (S,)
-    states, (P, S), or (N,) senones."""
+    states, (P, S), or (N,) senones.
+
+    abs_floor: optional replacement for the reference's ABSOLUTE variance
+    floor FINITE_PROBAB (T1:1975-1977), scalar or per-dim (D,).  Training
+    in affine-normalized feature space (--cmvn global) passes
+    FINITE_PROBAB / std^2 so the floor acts at exactly the raw-space
+    magnitudes — the absolute 1e-5 floor is the one EM quantity that is
+    NOT affine-equivariant (in normalized space it floors real variances
+    and costs >1e3 nats on the fixtures; hardware-debugged round 3)."""
     dtype = stream.means.dtype
+    base_floor = (
+        max(FINITE_PROBAB, var_floor)
+        if abs_floor is None
+        else jnp.maximum(jnp.asarray(abs_floor, dtype), var_floor)
+    )
     touched = (den_mix > 0)[..., None]
     w_safe = jnp.where(st.w > 0, st.w, 1.0)
 
@@ -280,7 +298,7 @@ def update_stream(
         D = cov.shape[-1]
         eye = jnp.eye(D, dtype=dtype)
         diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-        floored = jnp.maximum(diag, max(FINITE_PROBAB, var_floor))
+        floored = jnp.maximum(diag, base_floor)
         cov = cov + (floored - diag)[..., None] * eye
         inv_new, log_det_new = _batched_inv_logdet(cov)
         inv = jnp.where(touched[..., None, None], inv_new, stream.inv_cov)
@@ -289,14 +307,15 @@ def update_stream(
         cov = (
             st.xx - 2.0 * mu0 * st.x + st.w[..., None] * mu0 * mu0
         ) / w_safe[..., None]
-        cov = jnp.maximum(cov, max(FINITE_PROBAB, var_floor))
+        cov = jnp.maximum(cov, base_floor)
         inv_new = 1.0 / cov
         log_det_new = jnp.sum(jnp.log(cov), axis=-1)
         inv = jnp.where(touched[..., None], inv_new, stream.inv_cov)
         log_det = jnp.where(touched, log_det_new, old_log_det)
 
+    zd = _LOG_ZERO_DET if zero_det_threshold is None else zero_det_threshold
     weights, means, inv, log_det = _repair_degenerate(
-        weights, means, inv, log_det, stream.cov_type
+        weights, means, inv, log_det, stream.cov_type, zd
     )
     if stream.cov_type == FULL:
         # Last-resort PSD fallback (beyond the reference): if a mixture's
@@ -304,7 +323,7 @@ def update_stream(
         # whole state collapsed), fall back to its diagonal covariance —
         # always PSD after flooring.  HTK-style robustness for
         # over-parameterized models; unreachable in the fixture regime.
-        still_bad = ~jnp.isfinite(log_det) | (log_det < _LOG_ZERO_DET)
+        still_bad = ~jnp.isfinite(log_det) | (log_det < zd)
         diag_inv = 1.0 / floored
         eye_d = jnp.eye(floored.shape[-1], dtype=dtype)
         inv = jnp.where(
@@ -326,7 +345,11 @@ def update_stream(
 
 
 def m_step(
-    model: GmmHmm, stats: SuffStats, var_floor: float = 0.0
+    model: GmmHmm,
+    stats: SuffStats,
+    var_floor: float = 0.0,
+    abs_floors=None,
+    zero_det_thresholds=None,
 ) -> GmmHmm:
     """Reference-semantics parameter update (T1:1907-2000 + re-inversion),
     vectorized over (S, M).
@@ -359,8 +382,12 @@ def m_step(
     )
 
     new_streams = [
-        update_stream(stream, st, stats.den_mix, var_floor)
-        for stream, st in zip(model.streams, stats.streams)
+        update_stream(
+            stream, st, stats.den_mix, var_floor,
+            None if abs_floors is None else abs_floors[i],
+            None if zero_det_thresholds is None else zero_det_thresholds[i],
+        )
+        for i, (stream, st) in enumerate(zip(model.streams, stats.streams))
     ]
 
     return model.replace(trans=trans_new, streams=tuple(new_streams))
@@ -388,10 +415,10 @@ def _batched_inv_logdet(cov: jax.Array):
 _LOG_ZERO_DET = -46.0517018598809136  # log(1e-20), treat_zero_det trigger
 
 
-def _repair_degenerate(weights, means, inv, log_det, cov_type):
+def _repair_degenerate(weights, means, inv, log_det, cov_type, zd=_LOG_ZERO_DET):
     """Vectorized treat_zero_det (T1:2226-2265): re-seed collapsed mixtures
     from the state's largest-determinant mixture."""
-    bad = log_det < _LOG_ZERO_DET  # (S, M)
+    bad = log_det < zd  # (S, M)
     any_bad = bad.any(-1)
     donor = jnp.argmax(log_det, axis=-1)  # (S,)
     take = lambda a: jnp.take_along_axis(
@@ -838,6 +865,8 @@ def em_train_scan(
     fused: bool = True,
     band: int | None = None,
     k_block: int = 32,
+    abs_floors=None,
+    zero_det_thresholds=None,
 ):
     """N EM iterations as ONE jitted lax.scan — no per-iteration program
     launches or host syncs (the reference's convergence check forces a host
@@ -858,7 +887,10 @@ def em_train_scan(
             )
         else:
             st = e_step(m, batch)
-        new = m_step(m, st, var_floor=var_floor)
+        new = m_step(
+            m, st, var_floor=var_floor, abs_floors=abs_floors,
+            zero_det_thresholds=zero_det_thresholds,
+        )
         return new, (st.log_prob, st.num_valid)
 
     final, (lps, nvs) = jax.lax.scan(step, model, None, length=n_iters)
@@ -873,6 +905,9 @@ def train_fast(
     var_floor: float = 0.0,
     time_mesh=None,
     chunk: int = 8,
+    log_prob_offset: float = 0.0,
+    abs_floors=None,
+    zero_det_thresholds=None,
 ):
     """EM driver with the reference's convergence rule
     (|old - new| / |old| <= threshold, old initialized to 1.0, final pass
@@ -930,11 +965,12 @@ def train_fast(
 
     run = lambda m, k: em_train_scan(
         m, batch, k, feats_tdb, var_floor=var_floor, fused=use_fused,
-        band=band,
+        band=band, abs_floors=abs_floors,
+        zero_det_thresholds=zero_det_thresholds,
     )
     model, iteration, history, n_valid = chunked_convergence_train(
         model, run, threshold=threshold, max_iterations=max_iterations,
-        chunk=chunk,
+        chunk=chunk, log_prob_offset=log_prob_offset,
     )
     return TrainResult(
         model=model,

@@ -242,3 +242,46 @@ def test_train_cli_scan_iters_fixed_budget(reference_root, tmp_path):
     )
     txt = (run / "test" / "out.txt").read_text()
     assert "number of iterations: 4" in txt
+
+
+def test_train_cli_fast_cmvn_close_to_golden(reference_root, tmp_path):
+    """--numerics fast --cmvn global trains in normalized space and exports
+    a de-normalized raw-space model; on the fixture word the f32+CMVN model
+    must land near the f64 golden model and report the Jacobian-corrected
+    mean probability."""
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "train" / "test", run / "test")
+    (run / "test" / "parameters.txt").write_text(
+        "./test/perfil_data/mean_vc_186_f_03_ap_0225.perfil\n"
+    )
+    r = _run(
+        [
+            "srhmm_tpu.cli.train",
+            "--numerics", "fast",
+            "--cmvn", "global",
+            "vc_186_f_03_ap_0225",
+            "6",
+            "1",
+            "1",
+            "./test/parameters.txt",
+            "./test/out.hmm",
+        ],
+        cwd=run,
+    )
+    assert r.returncode == 0, r.stderr
+    got = read_hmm(run / "test" / "out.hmm")
+    gold = read_hmm(
+        reference_root / "train" / "test" / "result" / "mean_vc_186_f_03_ap_0225.hmm"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.streams[0].means),
+        np.asarray(gold.streams[0].means),
+        rtol=1e-3, atol=1e-3,
+    )
+    # Jacobian-corrected raw-space mean probability near the golden value
+    import re
+
+    m = re.search(r"probability (-?\d+\.\d+)", r.stdout)
+    assert m, r.stdout
+    assert abs(float(m.group(1)) - (-7928.721460)) < 2.0, r.stdout

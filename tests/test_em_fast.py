@@ -403,3 +403,67 @@ def test_em_train_scan_matches_loop():
         aa, bb = np.asarray(a, np.float64), np.asarray(b, np.float64)
         # f32 fusion-order differences between scanned and unscanned programs
         assert np.max(np.abs(aa - bb)) <= 1e-4 * max(1.0, np.abs(bb).max())
+
+
+def test_global_cmvn_improves_f32_model_accuracy():
+    """The f32 precision lever (PERF.md "Accuracy"): at raw .perfil-like
+    feature scale (|x| ~ 3e3) the f32 moment statistics lose
+    ~mean^2/variance of their precision to cancellation in the covariance
+    recovery; training in globally-CMVN-normalized space
+    (features.frontend.global_cmvn_stats) and de-normalizing the model
+    (models.gmm_hmm.denormalize_model) recovers >=5x accuracy vs the f64
+    oracle."""
+    from srhmm_tpu.features.frontend import global_cmvn_stats
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models.gmm_hmm import denormalize_model
+    from srhmm_tpu.train.em import em_step
+
+    rng = np.random.default_rng(0)
+    S, M, D, B, T = 8, 3, 9, 32, 64
+    # .perfil-like monotone band profile: large per-dim offsets, modest spread
+    offsets = np.linspace(50.0, 3000.0, D)
+    state_means = offsets[None, :] + rng.normal(size=(S, D)) * 40.0
+    utts = []
+    for _ in range(B):
+        ids = np.repeat(np.arange(S), T // S)
+        utts.append(state_means[ids] + rng.normal(size=(T, D)) * 8.0)
+
+    mix_means = state_means[:, None, :] + rng.normal(size=(S, M, D)) * 10.0
+    var = rng.uniform(30.0, 90.0, size=(S, M, D))
+    w = rng.uniform(0.3, 0.7, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(mix_means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    )
+
+    batch64 = pack_utterances(utts, pad_multiple=16, dtype=jnp.float64)
+    batch32 = batch64.replace(features=batch64.features.astype(jnp.float32))
+
+    # f64 oracle in raw space
+    m64, _, _ = em_step(model.astype(jnp.float64), batch64)
+    # f32 in raw space
+    m32, _, _ = em_step(model.astype(jnp.float32), batch32)
+    # f32 in normalized space, de-normalized back
+    mean, std = global_cmvn_stats(batch64.features, batch64.lengths)
+    norm64 = batch64.replace(features=(batch64.features - mean) / std)
+    norm32 = norm64.replace(features=norm64.features.astype(jnp.float32))
+    model_n = denormalize_model(model, (-mean / std, 1.0 / std))
+    m32n, _, _ = em_step(model_n.astype(jnp.float32), norm32)
+    m32n = denormalize_model(m32n, (mean, std))
+
+    def var_err(got):
+        a = 1.0 / np.asarray(got.streams[0].inv_cov, np.float64)
+        b = 1.0 / np.asarray(m64.streams[0].inv_cov, np.float64)
+        return np.max(np.abs(a - b) / np.abs(b))
+
+    raw_err, cmvn_err = var_err(m32), var_err(m32n)
+    assert cmvn_err * 5.0 <= raw_err, (raw_err, cmvn_err)
