@@ -27,6 +27,11 @@ Optional leading flags:
                       (train/em.em_train_scan — no per-iteration program
                       launches or host syncs; the 0.63 ms/iter trainer from
                       PERF.md), skipping the reference's convergence rule
+    --stream-shards N (fast path) stream the dataset through the device in
+                      N shards with the async double-buffered input
+                      pipeline (io/pipeline.py): shard k+1's host->device
+                      copy overlaps shard k's E-step — for datasets larger
+                      than device memory (SURVEY §2.4 threads/async row)
     --cmvn global     (fast path) train in globally mean/variance-normalized
                       feature space and de-normalize the exported model —
                       the f32 precision lever for raw-scale features (the
@@ -57,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--scan-iters", type=int, default=None)
     ap.add_argument("--cmvn", choices=["off", "global"], default="off")
+    ap.add_argument("--stream-shards", type=int, default=None)
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     ns = ap.parse_args(argv)
     rest = ns.rest
@@ -247,6 +253,23 @@ def main(argv: list[str] | None = None) -> int:
                 res = train_fast_resumable(
                     fast_model, batch, ns.checkpoint_dir,
                     threshold=ns.threshold, log_prob_offset=cmvn_offset,
+                )
+            elif ns.stream_shards:
+                import numpy as np
+
+                from ..train.streaming import shard_batch, train_streaming
+
+                host = batch.replace(
+                    features=np.asarray(batch.features),
+                    lengths=np.asarray(batch.lengths),
+                )
+                res = train_streaming(
+                    fast_model,
+                    shard_batch(host, ns.stream_shards),
+                    threshold=ns.threshold,
+                    log_prob_offset=cmvn_offset,
+                    abs_floors=cmvn_abs_floors,
+                    zero_det_thresholds=cmvn_zd,
                 )
             else:
                 res = train_fast(

@@ -285,3 +285,36 @@ def test_train_cli_fast_cmvn_close_to_golden(reference_root, tmp_path):
     m = re.search(r"probability (-?\d+\.\d+)", r.stdout)
     assert m, r.stdout
     assert abs(float(m.group(1)) - (-7928.721460)) < 2.0, r.stdout
+
+
+def test_train_cli_stream_shards(reference_root, tmp_path):
+    """--stream-shards N trains through the async double-buffered input
+    pipeline end-to-end and reproduces the resident-batch fast result."""
+    run = tmp_path / "run"
+    run.mkdir()
+    shutil.copytree(reference_root / "train" / "test", run / "test")
+    (run / "test" / "parameters.txt").write_text(
+        "./test/perfil_data/mean_vc_186_f_03_ap_0225.perfil\n"
+        "./test/perfil_data/mean_vc_200_f_02_ap_015.perfil\n"
+        "./test/perfil_data/mean_vc_200_f_02_ap_030.perfil\n"
+    )
+    args = [
+        "srhmm_tpu.cli.train", "--numerics", "fast",
+        "vc_186_f_03_ap_0225", "6", "1", "1",
+        "./test/parameters.txt", "./test/out_resident.hmm",
+    ]
+    r = _run(args, cwd=run)
+    assert r.returncode == 0, r.stderr
+    args_s = [
+        "srhmm_tpu.cli.train", "--numerics", "fast", "--stream-shards", "2",
+        "vc_186_f_03_ap_0225", "6", "1", "1",
+        "./test/parameters.txt", "./test/out_stream.hmm",
+    ]
+    r2 = _run(args_s, cwd=run)
+    assert r2.returncode == 0, r2.stderr
+    a = read_hmm(run / "test" / "out_stream.hmm")
+    b = read_hmm(run / "test" / "out_resident.hmm")
+    np.testing.assert_allclose(
+        np.asarray(a.streams[0].means), np.asarray(b.streams[0].means),
+        rtol=1e-4, atol=1e-4,
+    )
