@@ -464,10 +464,18 @@ def _bwd_stats_kernel(
     mom (M*S, L+1) = [sum gm x, sum gm x^2 | sum gm vec(x x^T), sum gm]
     (L = the lift width: 2D diag, D + D^2 full covariance).
 
-    v is clamped at exp(30): mathematically v <= 1/min_trans wherever the
-    corresponding trans entry is nonzero (u attains 1 at the argmax state),
-    so the clamp only touches (i, j) pairs whose trans weight is ~0 and
-    keeps the B-contraction finite.
+    xi accumulation (round-3 fix): for BANDED models the band+1 diagonals
+    are accumulated EXACTLY in log domain per (d, j, lane) —
+    xi_d[j] = exp(la[t, j-d] + lt[j-d, j] + log_b[t+1, j] + beta[t+1, j]
+    - z), clamped at 0 from above only (xi <= 1) — same VPU cost as the
+    banded recursion itself.  The dense fallback keeps the U/V MXU
+    factorization with v capped at exp(30); that cap LOSES xi mass when a
+    frame's forward range exceeds ~30 nats while low-alpha states still
+    carry O(1) xi (hardware-found via a 2-stream model whose summed
+    emissions double the per-frame spread: 13% of the self-loop mass
+    vanished and xi row sums broke mass conservation) — banded left-right
+    models (every reference topology) never hit it because they no longer
+    use the factorization.
     """
     tb = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -492,7 +500,14 @@ def _bwd_stats_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1, zero, neg
     )
 
-    acc_uv = jnp.zeros((S, S), jnp.float32)
+    if band is None:
+        acc_uv = jnp.zeros((S, S), jnp.float32)
+    else:
+        acc_xi = [jnp.zeros((S, B), jnp.float32) for _ in range(band + 1)]
+        # destination-indexed band diagonals: dcol_d[j] = lt[j-d, j]
+        dcols = [
+            _shift_down(diag_rows[d], d, neg) for d in range(band + 1)
+        ]
     acc_dt = jnp.zeros((S, B), jnp.float32)
     acc_dm = jnp.zeros((S, B), jnp.float32)
     acc_mom = jnp.zeros((MS, lift_dim + 1), jnp.float32)
@@ -512,20 +527,28 @@ def _bwd_stats_kernel(
 
         lbw_next = lbw_ref[:]  # log-beta at t+1 (carry before update)
 
-        # xi via the U/V factorization (docstring): one (S,B)x(S,B)->(S,S)
-        # MXU contraction over B per frame instead of an (S,S,B) tensor
         m_xi = ((lens - jnp.float32(1.0)) > tf) & (vmask > zero)  # (1, B)
-        c_t = jnp.maximum(jnp.max(la_t, axis=0, keepdims=True), neg)  # (1,B)
-        u = jnp.exp(la_t - c_t)  # (S, B) <= 1
-        u = jnp.where(m_xi, u, zero)
-        lv = jnp.maximum(lbn + lbw_next, neg) - (z - c_t)
-        # v must be masked too: masked lanes can hold NaN (garbage lbn on
-        # the first grid step) and 0 * NaN = NaN inside the contraction
-        v = jnp.where(m_xi, jnp.exp(jnp.minimum(lv, v_cap)), zero)  # (S, B)
-        acc_uv = acc_uv + jax.lax.dot_general(
-            u, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (S, S)
+        if band is not None:
+            # exact per-diagonal xi (docstring): no factorization, no caps
+            lnz = jnp.maximum(lbn + lbw_next, neg) - z  # (S, B)
+            for d in range(band + 1):
+                term = _shift_down(la_t, d, neg) + dcols[d] + lnz
+                acc_xi[d] = acc_xi[d] + jnp.where(
+                    m_xi, jnp.exp(jnp.minimum(term, zero)), zero
+                )
+        else:
+            # dense fallback: U/V MXU factorization (docstring caveat)
+            c_t = jnp.maximum(jnp.max(la_t, axis=0, keepdims=True), neg)
+            u = jnp.exp(la_t - c_t)  # (S, B) <= 1
+            u = jnp.where(m_xi, u, zero)
+            lv = jnp.maximum(lbn + lbw_next, neg) - (z - c_t)
+            # v must be masked too: masked lanes can hold NaN (garbage lbn
+            # on the first grid step) and 0 * NaN = NaN in the contraction
+            v = jnp.where(m_xi, jnp.exp(jnp.minimum(lv, v_cap)), zero)
+            acc_uv = acc_uv + jax.lax.dot_general(
+                u, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, S)
 
         # ---- backward update to state t (log domain) ----
         inner = jnp.maximum(lbn + lbw_next, neg)
@@ -564,14 +587,22 @@ def _bwd_stats_kernel(
 
     @pl.when(first)
     def _():
-        uv_ref[:] = acc_uv
+        if band is None:
+            uv_ref[:] = acc_uv
+        else:
+            for d in range(band + 1):
+                uv_ref[d] = acc_xi[d]
         den_trans_ref[:] = acc_dt
         den_mix_ref[:] = acc_dm
         mom_ref[:] = acc_mom
 
     @pl.when(jnp.logical_not(first))
     def _():
-        uv_ref[:] += acc_uv
+        if band is None:
+            uv_ref[:] += acc_uv
+        else:
+            for d in range(band + 1):
+                uv_ref[d] += acc_xi[d]
         den_trans_ref[:] += acc_dt
         den_mix_ref[:] += acc_dm
         mom_ref[:] += acc_mom
@@ -604,10 +635,12 @@ def backward_stats_pallas(
     come back ABOUT this origin — unshift them, see pack_lane_constants);
     band: static band width (trans_band) or None for dense.
 
-    Returns (uv (S, S) — num_trans is trans * uv —, den_trans (S, B),
-    den_mix (S, B), mom (M*S, L+1) with L the lift width); reduce over B
-    (and reorder moments)
-    in XLA.
+    Returns (xi_or_uv, den_trans (S, B), den_mix (S, B), mom (M*S, L+1)
+    with L the lift width).  Banded (band is not None): xi_or_uv is the
+    EXACT per-diagonal xi (band+1, S, B) — num_trans[j-d, j] =
+    xi[d, j].sum(B) (already includes the transition weight).  Dense:
+    xi_or_uv is the (S, S) U/V contraction — num_trans = trans * uv.
+    Reduce over B (and reorder moments) in XLA.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -650,6 +683,12 @@ def backward_stats_pallas(
     rev = lambda t: (nb - 1 - t, 0 * t, 0 * t)
     zero2 = lambda t: (0 * t, 0 * t)
     zero3 = lambda t: (0 * t, 0 * t, 0 * t)
+    if band is None:
+        xi_spec = pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM)
+        xi_shape = jax.ShapeDtypeStruct((S, S), jnp.float32)
+    else:
+        xi_spec = pl.BlockSpec((band + 1, S, B), zero3, memory_space=pltpu.VMEM)
+        xi_shape = jax.ShapeDtypeStruct((band + 1, S, B), jnp.float32)
     return pl.pallas_call(
         partial(_bwd_stats_kernel, M, k_block, band, full),
         grid=(nb,),
@@ -669,13 +708,13 @@ def backward_stats_pallas(
             pl.BlockSpec((1, B), zero2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((S, S), zero2, memory_space=pltpu.VMEM),
+            xi_spec,
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((MS, lift_dim + 1), zero2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, S), jnp.float32),
+            xi_shape,
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((S, B), jnp.float32),
             jax.ShapeDtypeStruct((MS, lift_dim + 1), jnp.float32),
@@ -690,3 +729,421 @@ def backward_stats_pallas(
         log_b, log_alpha, lt_log, diag, a_ms, bias_g, bias_ms, logw_ms,
         o_col, lens, zr, vm,
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-stream variants (the reference supports up to 6 parameter streams,
+# T1:41, with per-frame emission = product of per-stream GMM likelihoods,
+# T1:1437-1441).  Each stream keeps its own refs — separate (T, D_p, B)
+# features, GEMM constants, and moment outputs — so nothing needs
+# cross-stream padding or misaligned sublane slicing; the forward/backward
+# recursions run on the summed per-stream log_b.  K2 recomputes each
+# stream's own mixture logsumexp in VMEM for its posteriors (the total
+# log_b from HBM only drives the lattice recursion).
+# ---------------------------------------------------------------------------
+
+
+def _emit_fwd_kernel_multi(mixes, k_block, band, full, *refs):
+    """Multi-stream K1.  refs: per-stream [feats_p], [a_p], [bias_g_p],
+    [bias_p], [logw_p], [o_p], then lt_log, diag, len; outs log_b, la;
+    scratch la_carry."""
+    P = len(mixes)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    o_refs = refs[5 * P : 6 * P]
+    lt_log_ref, diag_ref, len_ref, log_b_ref, la_ref, la_carry_ref = refs[6 * P :]
+    tb = pl.program_id(0)
+    S = lt_log_ref.shape[0]
+    B = la_carry_ref.shape[1]
+    lens = len_ref[:]
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    diag_cols = (
+        [diag_ref[d] for d in range(band + 1)] if band is not None else None
+    )
+
+    for k in range(k_block):
+        log_b = None
+        for p in range(P):
+            x = feats_refs[p][k] - o_refs[p][:]
+            q = _emission_q(
+                x, a_refs[p], bias_g_refs[p], bias_refs[p], logw_refs[p], full
+            )
+            lb_p = _log_b_from_q(q, S, mixes[p])
+            log_b = lb_p if log_b is None else log_b + lb_p
+        log_b = jnp.maximum(log_b, neg)
+        log_b_ref[k] = log_b
+
+        def first():
+            start = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == 0,
+                jnp.float32(0.0),
+                neg,
+            )
+            return jnp.maximum(start + log_b, neg)
+
+        def rest():
+            upd = _fwd_update(
+                la_carry_ref[:], lt_log_ref[:], diag_cols, band, neg, tiny
+            )
+            return jnp.maximum(upd + log_b, neg)
+
+        if k == 0:
+            new = jax.lax.cond(tb == 0, first, rest)
+        else:
+            new = rest()
+        t = tb * k_block + k
+        keep = lens > jnp.float32(1.0) * t
+        if k == 0:
+            keep = keep | (tb == 0)
+        la_carry_ref[:] = jnp.where(keep, new, la_carry_ref[:])
+        la_ref[k] = la_carry_ref[:]
+
+
+def _bwd_stats_kernel_multi(mixes, k_block, band, full, *refs):
+    """Multi-stream K2.  refs: per-stream [feats_p], [a_p], [bias_g_p],
+    [bias_p], [logw_p], [o_p], then lb, la, lt_log, diag, len, z, vmask;
+    outs uv, den_trans, den_mix, [mom_p]; scratches lbw, lbb."""
+    P = len(mixes)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    o_refs = refs[5 * P : 6 * P]
+    rest = refs[6 * P :]
+    lb_ref, la_ref, lt_log_ref, diag_ref, len_ref, z_ref, vmask_ref = rest[:7]
+    uv_ref, den_trans_ref, den_mix_ref = rest[7:10]
+    mom_refs = rest[10 : 10 + P]
+    lbw_ref, lbb_ref = rest[10 + P :]
+
+    tb = pl.program_id(0)
+    nb = pl.num_programs(0)
+    S = lt_log_ref.shape[0]
+    B = lbw_ref.shape[1]
+    lens = len_ref[:]
+    z = z_ref[:]
+    vmask = vmask_ref[:]
+    t_lo = (nb - 1 - tb) * k_block
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    zero = jnp.float32(0.0)
+    v_cap = jnp.float32(30.0)
+    diag_rows = (
+        [diag_ref[d] for d in range(band + 1)] if band is not None else None
+    )
+    lbw_init = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, B), 0) == S - 1, zero, neg
+    )
+
+    if band is None:
+        acc_uv = jnp.zeros((S, S), jnp.float32)
+    else:
+        acc_xi = [jnp.zeros((S, B), jnp.float32) for _ in range(band + 1)]
+        dcols = [_shift_down(diag_rows[d], d, neg) for d in range(band + 1)]
+    acc_dt = jnp.zeros((S, B), jnp.float32)
+    acc_dm = jnp.zeros((S, B), jnp.float32)
+    acc_moms = [
+        jnp.zeros(mom_refs[p].shape, jnp.float32) for p in range(P)
+    ]
+
+    for k in range(k_block - 1, -1, -1):
+        t = t_lo + k
+        tf = jnp.float32(1.0) * t
+        la_t = la_ref[k]
+        lbn = lbb_ref[:] if k == k_block - 1 else lb_ref[k + 1]
+        lbw_next = lbw_ref[:]
+
+        m_xi = ((lens - jnp.float32(1.0)) > tf) & (vmask > zero)
+        if band is not None:
+            # exact per-diagonal xi (see _bwd_stats_kernel docstring) —
+            # essential here: summed multi-stream emissions double the
+            # per-frame alpha spread and the capped U/V factorization
+            # loses real xi mass
+            lnz = jnp.maximum(lbn + lbw_next, neg) - z
+            for d in range(band + 1):
+                term = _shift_down(la_t, d, neg) + dcols[d] + lnz
+                acc_xi[d] = acc_xi[d] + jnp.where(
+                    m_xi, jnp.exp(jnp.minimum(term, zero)), zero
+                )
+        else:
+            c_t = jnp.maximum(jnp.max(la_t, axis=0, keepdims=True), neg)
+            u = jnp.where(m_xi, jnp.exp(la_t - c_t), zero)
+            lv = jnp.maximum(lbn + lbw_next, neg) - (z - c_t)
+            v = jnp.where(m_xi, jnp.exp(jnp.minimum(lv, v_cap)), zero)
+            acc_uv = acc_uv + jax.lax.dot_general(
+                u, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        inner = jnp.maximum(lbn + lbw_next, neg)
+        upd = _bwd_update(inner, lt_log_ref[:], diag_rows, band, neg, tiny)
+        active = (lens - jnp.float32(1.0)) > tf
+        lbw_ref[:] = jnp.where(active, upd, lbw_init)
+
+        m_g = (lens > tf) & (vmask > zero)
+        gamma = jnp.exp(jnp.minimum(la_t + lbw_ref[:] - z, zero))
+        gamma = jnp.where(m_g, gamma, zero)
+        acc_dm = acc_dm + gamma
+        acc_dt = acc_dt + jnp.where(m_xi, gamma, zero)
+
+        for p in range(P):
+            x = feats_refs[p][k] - o_refs[p][:]
+            lift = _lift(x, full)
+            q = _emission_q(
+                x, a_refs[p], bias_g_refs[p], bias_refs[p], logw_refs[p], full
+            )
+            # the stream's OWN mixture logsumexp normalizes its posteriors
+            # (the total log_b only drives the lattice recursion)
+            lb_p = _log_b_from_q(q, S, mixes[p])
+            gm_rows = []
+            for m in range(mixes[p]):
+                qm = q[m * S : (m + 1) * S]
+                post = jnp.exp(jnp.minimum(qm - lb_p, zero))
+                post = jnp.where(lb_p > jnp.float32(NEG_INF / 2), post, zero)
+                gm_rows.append(gamma * post)
+            gm = jnp.concatenate(gm_rows, axis=0)
+            lift19 = jnp.concatenate(
+                [lift, jnp.ones((1, B), jnp.float32)], axis=0
+            )
+            acc_moms[p] = acc_moms[p] + jax.lax.dot_general(
+                gm, lift19, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    lbb_ref[:] = lb_ref[0]
+    first = tb == 0
+
+    @pl.when(first)
+    def _():
+        if band is None:
+            uv_ref[:] = acc_uv
+        else:
+            for d in range(band + 1):
+                uv_ref[d] = acc_xi[d]
+        den_trans_ref[:] = acc_dt
+        den_mix_ref[:] = acc_dm
+        for p in range(P):
+            mom_refs[p][:] = acc_moms[p]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        if band is None:
+            uv_ref[:] += acc_uv
+        else:
+            for d in range(band + 1):
+                uv_ref[d] += acc_xi[d]
+        den_trans_ref[:] += acc_dt
+        den_mix_ref[:] += acc_dm
+        for p in range(P):
+            mom_refs[p][:] += acc_moms[p]
+
+
+@partial(jax.jit, static_argnames=("k_block", "band", "interpret"))
+def emit_forward_pallas_multi(
+    feats_list,
+    a_list,
+    bias_g_list,
+    bias_list,
+    logw_list,
+    trans,
+    lengths,
+    origins,
+    k_block: int = 16,
+    band: int | None = None,
+    interpret: bool | None = None,
+):
+    """Multi-stream emit+forward: per-stream (T, D_p, B) features and
+    pack_lane_constants outputs (tuples, one entry per stream) ->
+    (log_b, log_alpha) on the SUMMED per-stream log-likelihoods."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P = len(feats_list)
+    T, _, B = feats_list[0].shape
+    S = trans.shape[0]
+    full = a_list[0].shape[1] == feats_list[0].shape[1]
+    mixes = tuple(
+        (a.shape[0] // f.shape[1] if full else a.shape[0]) // S
+        for a, f in zip(a_list, feats_list)
+    )
+    assert T % k_block == 0
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    o_cols = [
+        o.astype(jnp.float32).reshape(f.shape[1], 1)
+        for o, f in zip(origins, feats_list)
+    ]
+    lt_lin = trans.astype(jnp.float32)
+    lt_log = jnp.where(
+        lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
+    ).astype(jnp.float32)
+    nbands = (band + 1) if band is not None else 1
+    j = jnp.arange(S)
+    diag = jnp.stack(
+        [
+            jnp.where(
+                (j - d >= 0)[:, None],
+                lt_log[jnp.maximum(j - d, 0), j][:, None],
+                NEG_INF,
+            ).astype(jnp.float32)
+            for d in range(nbands)
+        ],
+        axis=0,
+    )
+
+    grid = (T // k_block,)
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    tblk = lambda shape: pl.BlockSpec(
+        shape, lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [tblk((k_block, f.shape[1], B)) for f in feats_list]
+        + [tvm(a.shape) for a in a_list]
+        + [tvm(bg.shape) for bg in bias_g_list]
+        + [tvm(b.shape) for b in bias_list]
+        + [tvm(lw.shape) for lw in logw_list]
+        + [tvm(o.shape) for o in o_cols]
+        + [tvm((S, S)), tvm((nbands, S, 1)), tvm((1, B))]
+    )
+    return pl.pallas_call(
+        partial(_emit_fwd_kernel_multi, mixes, k_block, band, full),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            tblk((k_block, S, B)),
+            tblk((k_block, S, B)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, S, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.float32)],
+        interpret=interpret,
+    )(
+        *[f.astype(jnp.float32) for f in feats_list],
+        *a_list, *bias_g_list, *bias_list, *logw_list, *o_cols,
+        lt_log, diag, lens,
+    )
+
+
+@partial(jax.jit, static_argnames=("k_block", "band", "interpret"))
+def backward_stats_pallas_multi(
+    feats_list,
+    log_b,
+    log_alpha,
+    a_list,
+    bias_g_list,
+    bias_list,
+    logw_list,
+    trans,
+    lengths,
+    safe_z,
+    vmask,
+    origins,
+    k_block: int = 16,
+    band: int | None = None,
+    interpret: bool | None = None,
+):
+    """Multi-stream backward+stats: returns (xi_or_uv, den_trans,
+    den_mix, (mom_p, ...)) with one (M_p*S, L_p+1) moment block per
+    stream; xi_or_uv follows backward_stats_pallas' banded/dense
+    contract."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P = len(feats_list)
+    T, _, B = feats_list[0].shape
+    S = trans.shape[0]
+    full = a_list[0].shape[1] == feats_list[0].shape[1]
+    mixes = tuple(
+        (a.shape[0] // f.shape[1] if full else a.shape[0]) // S
+        for a, f in zip(a_list, feats_list)
+    )
+    lifts = tuple(
+        (f.shape[1] + f.shape[1] ** 2) if full else 2 * f.shape[1]
+        for f in feats_list
+    )
+    assert T % k_block == 0
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    zr = safe_z.astype(jnp.float32).reshape(1, B)
+    vm = vmask.astype(jnp.float32).reshape(1, B)
+    o_cols = [
+        o.astype(jnp.float32).reshape(f.shape[1], 1)
+        for o, f in zip(origins, feats_list)
+    ]
+    lt_lin = trans.astype(jnp.float32)
+    lt_log = jnp.where(
+        lt_lin > 0.0, jnp.log(jnp.maximum(lt_lin, _TINY)), NEG_INF
+    ).astype(jnp.float32)
+    nbands = (band + 1) if band is not None else 1
+    i = jnp.arange(S)
+    diag = jnp.stack(
+        [
+            jnp.where(
+                (i + d < S)[:, None],
+                lt_log[i, jnp.minimum(i + d, S - 1)][:, None],
+                NEG_INF,
+            ).astype(jnp.float32)
+            for d in range(nbands)
+        ],
+        axis=0,
+    )
+
+    nb = T // k_block
+    rev = lambda shape: pl.BlockSpec(
+        shape, lambda t: (nb - 1 - t, 0 * t, 0 * t), memory_space=pltpu.VMEM
+    )
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [rev((k_block, f.shape[1], B)) for f in feats_list]
+        + [tvm(a.shape) for a in a_list]
+        + [tvm(bg.shape) for bg in bias_g_list]
+        + [tvm(b.shape) for b in bias_list]
+        + [tvm(lw.shape) for lw in logw_list]
+        + [tvm(o.shape) for o in o_cols]
+        + [
+            rev((k_block, S, B)),
+            rev((k_block, S, B)),
+            tvm((S, S)),
+            tvm((nbands, S, 1)),
+            tvm((1, B)),
+            tvm((1, B)),
+            tvm((1, B)),
+        ]
+    )
+    xi_shape = (S, S) if band is None else (band + 1, S, B)
+    out_specs = [
+        tvm(xi_shape),
+        tvm((S, B)),
+        tvm((S, B)),
+    ] + [tvm((mixes[p] * S, lifts[p] + 1)) for p in range(P)]
+    out_shape = [
+        jax.ShapeDtypeStruct(xi_shape, jnp.float32),
+        jax.ShapeDtypeStruct((S, B), jnp.float32),
+        jax.ShapeDtypeStruct((S, B), jnp.float32),
+    ] + [
+        jax.ShapeDtypeStruct((mixes[p] * S, lifts[p] + 1), jnp.float32)
+        for p in range(P)
+    ]
+    out = pl.pallas_call(
+        partial(_bwd_stats_kernel_multi, mixes, k_block, band, full),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((S, B), jnp.float32),
+            pltpu.VMEM((S, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        *[f.astype(jnp.float32) for f in feats_list],
+        *a_list, *bias_g_list, *bias_list, *logw_list, *o_cols,
+        log_b, log_alpha, lt_log, diag, lens, zr, vm,
+    )
+    return out[0], out[1], out[2], tuple(out[3:])

@@ -540,6 +540,23 @@ def e_step_fused(
     )
 
 
+
+
+def _num_trans_from_xi(xi_or_uv, trans, band):
+    """num_trans from backward_stats_pallas' xi output: banded = exact
+    per-diagonal xi (already weighted by the transition probabilities);
+    dense = trans * uv (the U/V factorization)."""
+    if band is None:
+        return trans * xi_or_uv
+    S = trans.shape[-1]
+    xi_sum = xi_or_uv.sum(-1)  # (band+1, S) destination-indexed
+    num = jnp.zeros((S, S), trans.dtype)
+    for d in range(band + 1):
+        j = jnp.arange(d, S)
+        num = num.at[j - d, j].set(xi_sum[d, d:])
+    return num
+
+
 def e_step_fused_lane(
     model: GmmHmm,
     batch: UtteranceBatch,
@@ -661,10 +678,126 @@ def e_step_fused_lane(
         yy = mom[..., D:L]
         xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
     return SuffStats(
-        num_trans=trans * uv,
+        num_trans=_num_trans_from_xi(uv, trans, band),
         den_trans=den_trans.sum(-1),
         den_mix=den_mix.sum(-1),
         streams=(StreamStats(w=w, x=x, xx=xx),),
+        log_prob=jnp.sum(safe_z),
+        num_valid=vmask.sum(),
+    )
+
+
+def e_step_fused_lane_multi(
+    model: GmmHmm,
+    batches,
+    k_block: int = 32,
+    band: int | None = None,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Multi-stream batched E-step on the fused lane-major Pallas kernels
+    (ops/pallas/fused_em_pallas.py multi-stream variants).
+
+    The reference composes per-frame emissions as the PRODUCT of
+    per-stream GMM likelihoods (T1:1437-1441); here each stream keeps its
+    own (T, D_p, B) features and GEMM constants, K1 sums the per-stream
+    log-likelihoods before the forward recursion, and K2 recomputes each
+    stream's own mixture logsumexp in VMEM for its posterior/moment GEMMs.
+
+    batches: tuple of UtteranceBatch, one per stream (equal lengths —
+    the reference silently assumes this too, T1:274).  All streams must
+    share the covariance type.  Any (B, T) accepted (zero-padding as in
+    e_step_fused_lane)."""
+    from ..ops.pallas.fused_em_pallas import (
+        NEG_INF,
+        backward_stats_pallas_multi,
+        emit_forward_pallas_multi,
+        pack_lane_constants,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    streams = model.streams
+    P = len(streams)
+    if P != len(batches):
+        raise ValueError("e_step_fused_lane_multi: one batch per stream")
+    cov = streams[0].cov_type
+    if any(s.cov_type != cov for s in streams) or cov not in (DIAG, FULL):
+        raise ValueError(
+            "e_step_fused_lane_multi: homogeneous diag/full streams only"
+        )
+    S = model.num_states
+    dtype = jnp.float32
+    lengths = batches[0].lengths
+    B, T, _ = batches[0].features.shape
+    if cov == FULL:
+        k_block = min(k_block, 16)
+    k_block = min(k_block, 64)
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    feats_list = []
+    for b in batches:
+        f = b.features
+        if pad_b or pad_t:
+            f = jnp.pad(f, ((0, pad_b), (0, pad_t), (0, 0)))
+        feats_list.append(jnp.transpose(f.astype(dtype), (1, 2, 0)))
+    if pad_b:
+        lengths = jnp.pad(lengths, (0, pad_b))
+
+    origins = [
+        jnp.mean(s.means.astype(dtype), axis=(0, 1)) for s in streams
+    ]
+    packed = [
+        pack_lane_constants(s, dtype, origin=o)
+        for s, o in zip(streams, origins)
+    ]
+    a_list = tuple(p[0] for p in packed)
+    bias_g_list = tuple(p[1] for p in packed)
+    bias_list = tuple(p[2] for p in packed)
+    logw_list = tuple(p[3] for p in packed)
+    trans = model.trans.astype(dtype)
+
+    log_b, la = emit_forward_pallas_multi(
+        tuple(feats_list), a_list, bias_g_list, bias_list, logw_list,
+        trans, lengths, tuple(origins),
+        k_block=k_block, band=band, interpret=interpret,
+    )
+    log_z = la[-1, S - 1, :]
+    valid = jnp.isfinite(log_z) & (log_z > NEG_INF / 2) & (lengths > 0)
+    vmask = valid.astype(dtype)
+    safe_z = jnp.where(valid, log_z, 0.0)
+
+    uv, den_trans, den_mix, moms = backward_stats_pallas_multi(
+        tuple(feats_list), log_b, la, a_list, bias_g_list, bias_list,
+        logw_list, trans, lengths, safe_z, vmask, tuple(origins),
+        k_block=k_block, band=band, interpret=interpret,
+    )
+    stream_stats = []
+    for p, (stream, mom) in enumerate(zip(streams, moms)):
+        D = stream.dim
+        M = stream.num_mixtures
+        L = (D + D * D) if cov == FULL else 2 * D
+        mom = mom.reshape(M, S, L + 1).transpose(1, 0, 2)  # (S, M, L+1)
+        o = origins[p]
+        w = mom[..., L]
+        ys = mom[..., :D]
+        x = ys + o * w[..., None]
+        if cov == FULL:
+            yy = mom[..., D:L].reshape(S, M, D, D)
+            xx = (
+                yy
+                + o[:, None] * ys[..., None, :]
+                + ys[..., :, None] * o[None, :]
+                + (o[:, None] * o[None, :]) * w[..., None, None]
+            )
+        else:
+            yy = mom[..., D:L]
+            xx = yy + 2.0 * o * ys + (o * o) * w[..., None]
+        stream_stats.append(StreamStats(w=w, x=x, xx=xx))
+    return SuffStats(
+        num_trans=_num_trans_from_xi(uv, trans, band),
+        den_trans=den_trans.sum(-1),
+        den_mix=den_mix.sum(-1),
+        streams=tuple(stream_stats),
         log_prob=jnp.sum(safe_z),
         num_valid=vmask.sum(),
     )
@@ -767,37 +900,53 @@ def _em_step_xla(
 @partial(jax.jit, static_argnames=("var_floor", "k_block", "band"))
 def _em_step_fused_lane(
     model: GmmHmm,
-    batch: UtteranceBatch,
+    batch,
     feats_tdb,
     var_floor: float = 0.0,
     k_block: int = 32,
     band: int | None = None,
 ):
-    stats = e_step_fused_lane(
-        model, batch, feats_tdb, k_block=k_block, band=band, interpret=False
-    )
+    if isinstance(batch, tuple):
+        stats = e_step_fused_lane_multi(
+            model, batch, k_block=k_block, band=band, interpret=False
+        )
+    else:
+        stats = e_step_fused_lane(
+            model, batch, feats_tdb, k_block=k_block, band=band,
+            interpret=False,
+        )
     new_model = m_step(model, stats, var_floor=var_floor)
     return new_model, stats.log_prob, stats.num_valid
 
 
 def _fused_lane_eligible(model: GmmHmm, batch, bf16_stats: bool) -> bool:
-    """The fused lane-major Pallas E-step handles: single-stream models
-    (diagonal or full covariance), f32 batch (any B/T — e_step_fused_lane
-    zero-pads to the lane/time tiles internally), unsharded placement,
+    """The fused lane-major Pallas E-step handles: diagonal or full
+    covariance (homogeneous across streams), single- OR multi-stream
+    (e_step_fused_lane / e_step_fused_lane_multi), f32 batches (any B/T —
+    the wrappers zero-pad to the lane/time tiles), unsharded placement,
     TPU backend."""
-    if bf16_stats or isinstance(batch, tuple):
+    if bf16_stats:
         return False
-    if len(model.streams) != 1 or model.streams[0].cov_type not in (DIAG, FULL):
+    cov = model.streams[0].cov_type
+    if cov not in (DIAG, FULL) or any(
+        s.cov_type != cov for s in model.streams
+    ):
         return False
-    if batch.features.dtype != jnp.float32:
+    parts = batch if isinstance(batch, tuple) else (batch,)
+    if isinstance(batch, tuple) and len(parts) != len(model.streams):
+        return False
+    if not isinstance(batch, tuple) and len(model.streams) != 1:
         return False
     if jax.default_backend() != "tpu":
         return False
-    try:
-        if len(batch.features.sharding.device_set) > 1:
-            return False  # GSPMD does not partition pallas_call; use XLA path
-    except Exception:
-        return False  # tracers / unknown placement: stay on the XLA path
+    for b in parts:
+        if b.features.dtype != jnp.float32:
+            return False
+        try:
+            if len(b.features.sharding.device_set) > 1:
+                return False  # GSPMD can't partition pallas_call; XLA path
+        except Exception:
+            return False  # tracers / unknown placement: stay on XLA path
     return True
 
 
@@ -881,7 +1030,11 @@ def em_train_scan(
     model = _with_log_det(model)
 
     def step(m, _):
-        if fused:
+        if fused and isinstance(batch, tuple):
+            st = e_step_fused_lane_multi(
+                m, batch, k_block=k_block, band=band, interpret=False
+            )
+        elif fused:
             st = e_step_fused_lane(
                 m, batch, feats_tdb, k_block=k_block, band=band, interpret=False
             )
@@ -961,7 +1114,8 @@ def train_fast(
         from ..ops.pallas.fused_em_pallas import trans_band
 
         band = trans_band(model.trans)
-        feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
+        if not isinstance(batch, tuple):
+            feats_tdb = jnp.transpose(batch.features, (1, 2, 0))
 
     run = lambda m, k: em_train_scan(
         m, batch, k, feats_tdb, var_floor=var_floor, fused=use_fused,

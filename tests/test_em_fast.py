@@ -467,3 +467,69 @@ def test_global_cmvn_improves_f32_model_accuracy():
 
     raw_err, cmvn_err = var_err(m32), var_err(m32n)
     assert cmvn_err * 5.0 <= raw_err, (raw_err, cmvn_err)
+
+
+@pytest.mark.parametrize("cov_type", ["diag", "full"])
+def test_multi_stream_fused_matches_xla(cov_type):
+    """The multi-stream fused lane-major E-step (round 3:
+    e_step_fused_lane_multi — per-stream q GEMMs summed before the state
+    logsumexp, per-stream moment lifts) must reproduce the XLA e_step for
+    a two-stream model, both covariance types, padded/odd shapes."""
+    import numpy as np
+
+    from srhmm_tpu.models import FULL, GmmHmm, GmmStream, init_left_right_trans
+    from srhmm_tpu.train.em import e_step, e_step_fused_lane_multi
+
+    rng = np.random.default_rng(3)
+    S, M = 4, 2
+    streams = []
+    for p, D in enumerate([5, 3]):
+        means = rng.normal(size=(S, M, D)) * 2.0
+        w = rng.uniform(0.4, 0.6, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        if cov_type == "full":
+            a_rnd = rng.normal(size=(S, M, D, D)) * 0.2
+            cov = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(D)[None, None]
+            inv_cov, det = np.linalg.inv(cov), np.linalg.det(cov)
+        else:
+            var = rng.uniform(0.6, 1.4, size=(S, M, D))
+            inv_cov, det = 1.0 / var, np.prod(var, -1)
+        streams.append(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(inv_cov),
+                det=jnp.asarray(det),
+                cov_type=cov_type,
+            )
+        )
+    model = GmmHmm(
+        trans=init_left_right_trans(S), streams=tuple(streams)
+    ).astype(jnp.float32)
+    lengths = [40, 52, 36, 0, 47]
+    b0 = pack_utterances(
+        [rng.normal(size=(max(L, 1), 5)) for L in lengths],
+        pad_multiple=1, dtype=jnp.float32,
+    )
+    b1 = pack_utterances(
+        [rng.normal(size=(max(L, 1), 3)) for L in lengths],
+        pad_multiple=1, dtype=jnp.float32,
+    )
+    # emulate a zero-length padded row (batch-axis padding)
+    b0 = b0.replace(lengths=jnp.asarray(lengths, jnp.int32))
+    b1 = b1.replace(lengths=jnp.asarray(lengths, jnp.int32))
+
+    ref = e_step(model, (b0, b1))
+    got = e_step_fused_lane_multi(model, (b0, b1), k_block=8, band=1, interpret=True)
+    for name in ["num_trans", "den_trans", "den_mix", "log_prob", "num_valid"]:
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        np.testing.assert_allclose(
+            b, a, rtol=2e-3, atol=2e-4 * max(np.abs(a).max(), 1.0)
+        )
+    for p in range(2):
+        for name in ["w", "x", "xx"]:
+            a = np.asarray(getattr(ref.streams[p], name))
+            b = np.asarray(getattr(got.streams[p], name))
+            np.testing.assert_allclose(
+                b, a, rtol=2e-3, atol=2e-4 * max(np.abs(a).max(), 1e-6)
+            )
