@@ -527,3 +527,122 @@ def decode_continuous(
         if len(out) >= n_best:
             break
     return out
+
+
+@jax.jit
+def backtrace_batch_device(bps: jax.Array, states: jax.Array) -> jax.Array:
+    """Batched device-side backtrace for the fused decode kernel's
+    (T, W*S, B) source-row backpointer lattice: follow each lane's chain
+    from its final state.  bps[0] is the identity frame (unused as a
+    pointer); rows at t >= length are identity, so padded frames keep the
+    state constant.  Returns the (T, B) state paths."""
+
+    def step(s, bp_t):  # s: (B,) current states; bp_t: (N, B)
+        flat = jnp.take_along_axis(bp_t.T, s[:, None], axis=1)[:, 0]
+        return flat, s
+
+    s0, rest = jax.lax.scan(step, states.astype(jnp.int32), bps[1:], reverse=True)
+    return jnp.concatenate([s0[None], rest], axis=0)  # (T, B)
+
+
+def token_passing_fused(
+    vocab: GmmHmm,
+    graph: BlockGraph,
+    batch,
+    k_block: int = 1,
+    interpret: bool | None = None,
+):
+    """Batched word-loop Viterbi on the fused lane-major decode kernel
+    (ops/pallas/decode_pallas.py): emissions + block-banded (max, +)
+    recursion + cross-word merge in ONE kernel over all utterances, the
+    backpointer lattice as the only large HBM write.
+
+    batch: UtteranceBatch (B, T, D).  Requires a single diagonal stream
+    and a unigram-decomposable cross arc (graph.arc rows identical —
+    uniform/unigram LMs); n_best=1.  Returns (final (W*S, B) scores,
+    bps (T, W*S, B) int32, both trimmed to the original B)."""
+    from ..ops.pallas.decode_pallas import NEG_INF as DNEG
+    from ..ops.pallas.decode_pallas import word_loop_decode_pallas
+    from ..ops.pallas.scoring_pallas import pack_vocab_constants
+
+    stream = vocab.streams[0]
+    if len(vocab.streams) != 1 or stream.cov_type != "diag":
+        raise ValueError("token_passing_fused: single diagonal stream only")
+    arc = np.asarray(graph.arc, np.float64)
+    if not np.allclose(arc, arc[0:1]):
+        raise ValueError(
+            "token_passing_fused: bigram arcs are not unigram-decomposable; "
+            "use token_passing_blocks"
+        )
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    N = W * S
+    feats = batch.features
+    lengths = batch.lengths
+    B, T, D = feats.shape
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    if pad_b or pad_t:
+        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+
+    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    entry_rows = np.arange(W) * S
+    arc_col = np.full((N, 1), DNEG)
+    arc_col[entry_rows, 0] = arc[0]
+    entry_col = np.full((N, 1), DNEG)
+    entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+
+    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
+    final, bps = word_loop_decode_pallas(
+        feats_tdb, a, bias, diag,
+        jnp.asarray(arc_col, jnp.float32),
+        jnp.asarray(entry_col, jnp.float32),
+        lengths, s_word=S, band=band, k_block=k_block, interpret=interpret,
+    )
+    return final[:, :B], bps[:, :, :B]
+
+
+def decode_continuous_batch(
+    vocab: GmmHmm,
+    batch,
+    lm_logprobs: np.ndarray | None = None,
+    exit_logprob: float = float(np.log(0.1)),
+    lm_scale: float = 1.0,
+    word_insertion_penalty: float = 0.0,
+    lm_initial: np.ndarray | None = None,
+    k_block: int = 1,
+    interpret: bool | None = None,
+):
+    """Batched end-to-end continuous decode: ALL utterances of a padded
+    batch decode in one fused kernel pass (token_passing_fused) plus one
+    batched device backtrace.  Returns a list over utterances of
+    (score, word_ids, word_spans) — the best hypothesis per utterance
+    (n_best=1; use decode_continuous for K-best or bigram LMs)."""
+    graph = compose_word_loop_blocks(
+        vocab,
+        lm_logprobs=lm_logprobs,
+        exit_logprob=exit_logprob,
+        lm_scale=lm_scale,
+        word_insertion_penalty=word_insertion_penalty,
+        lm_initial=lm_initial,
+    )
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    final, bps = token_passing_fused(
+        vocab, graph, batch, k_block=k_block, interpret=interpret
+    )
+    fin = np.asarray(final)  # (W*S, B)
+    exit_rows = np.arange(W) * S + (S - 1)
+    best_states = exit_rows[np.argmax(fin[exit_rows], axis=0)]  # (B,)
+    paths = np.asarray(
+        backtrace_batch_device(bps, jnp.asarray(best_states, jnp.int32))
+    )  # (T, B)
+    lengths = np.asarray(batch.lengths)
+    out = []
+    for b in range(fin.shape[1]):
+        L = int(lengths[b])
+        if L <= 0:
+            out.append((float("-inf"), [], []))
+            continue
+        words, spans = _words_from_path(paths[:L, b], S)
+        out.append((float(fin[best_states[b], b]), words, spans))
+    return out

@@ -1,0 +1,196 @@
+"""Fused lane-major continuous-decode kernel (Pallas, TPU).
+
+One kernel runs the ENTIRE frame-synchronous word-loop Viterbi for a
+batch of utterances: per frame it computes the composed emissions from
+the packed vocabulary constants (the scoring kernel's GEMM,
+scoring_pallas.pack_vocab_constants), applies the block-banded (max, +)
+within-word update over the band+1 transition diagonals (sublane rolls,
+word-boundary masked), merges the cross-word arc at every entry state,
+and writes the per-frame argmax BACKPOINTERS as the only large HBM
+output.  The utterance batch rides the 128 VPU lanes ((W*S, B) carries) —
+decode/continuous.py's XLA engine (token_passing_blocks) processes one
+utterance per scan and re-reads a precomputed (T, W*S) emission tensor;
+here B utterances decode concurrently and emissions never touch HBM.
+
+Cross-word arcs use the UNIGRAM decomposition: when every exit state sees
+the same per-destination arc weight (arc[w, v] = f(v) — true for uniform
+and unigram LMs), the best cross-word candidate at entry v is
+(max over exit tokens) + f(v): an O(W*S) sublane reduction per frame
+instead of the O(W^2) all-pairs expansion.  Bigram LMs (arc genuinely
+(W, W)) fall back to the XLA engine — (max, +) contractions do not map
+to the MXU, and the per-frame W^2 B VPU cost would erase the batching
+win.
+
+K-best is n_best=1 in-kernel (the production decode); K>1 stays on the
+XLA engine.  Tie-breaks may differ from the XLA engine (it prefers the
+lowest source state, this kernel the shortest jump) — both are optimal
+paths; equality tests use continuous random emissions where ties have
+measure zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_TINY = 1e-38
+
+
+def _decode_kernel(
+    n_mix, k_block, band, s_word,
+    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, len_ref,
+    bp_ref, final_ref,
+    la_ref,
+):
+    """Grid: ascending time blocks.  Block shapes: feats (k_block, D, B);
+    a (M, N, 2D); bias (M, N, 1); diag (band+1, N, 1); arc / entry (N, 1)
+    (per-destination cross-arc weight / initial score at entry rows,
+    NEG_INF elsewhere); len (1, B).  Outputs: bp (k_block, N, B) int32
+    source-row backpointers; final (N, B) last-frame scores.  Scratch:
+    la (N, B) token carry."""
+    tb = pl.program_id(0)
+    N = la_ref.shape[0]
+    B = la_ref.shape[1]
+    lens = len_ref[:]
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    row_in_word = row % jnp.int32(s_word)
+    is_exit = row_in_word == jnp.int32(s_word - 1)
+
+    for k in range(k_block):
+        x = feats_ref[k]  # (D, B)
+        lift = jnp.concatenate([x, x * x], axis=0)
+        # RUNNING mixture logsumexp: at most two live (N, B) temporaries
+        # instead of M q-planes — the carry + backpointer block leave only
+        # a few MB of VMEM headroom at W=200 (hardware OOM'd at 22.4M/16M
+        # with the M-plane formulation)
+        m_s = None
+        e = None
+        for m in range(n_mix):
+            q = (
+                jnp.dot(
+                    a_ref[m], lift,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + bias_ref[m]
+            )
+            if m == 0:
+                m_s = jnp.maximum(q, neg)
+                e = jnp.exp(q - m_s)
+            else:
+                new_m = jnp.maximum(m_s, q)
+                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
+                m_s = new_m
+        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+
+        def first():
+            return jnp.maximum(entry_ref[:] + log_b, neg), row
+
+        def rest():
+            carry = la_ref[:]
+            best = carry + diag_ref[0]  # d = 0 (self loop)
+            bp = row
+            for d in range(1, band + 1):
+                sh = pltpu.roll(carry, shift=jnp.int32(d), axis=0)
+                sh = jnp.where(row_in_word >= d, sh, neg)
+                cand = sh + diag_ref[d]
+                take = cand > best
+                best = jnp.where(take, cand, best)
+                bp = jnp.where(take, row - jnp.int32(d), bp)
+            # cross-word: best exit token + per-destination arc (unigram
+            # decomposition, module docstring); deterministic lowest-row
+            # tie-break via the masked min-reduce
+            exit_m = jnp.where(is_exit, carry, neg)
+            m_exit = jnp.max(exit_m, axis=0, keepdims=True)  # (1, B)
+            am_exit = jnp.min(
+                jnp.where(exit_m == m_exit, row, jnp.int32(N)),
+                axis=0,
+                keepdims=True,
+            )  # (1, B)
+            cross = m_exit + arc_ref[:]  # (N, B); NEG_INF off entry rows
+            take_x = cross > best
+            best = jnp.where(take_x, cross, best)
+            bp = jnp.where(take_x, jnp.broadcast_to(am_exit, (N, B)), bp)
+            return jnp.maximum(best + log_b, neg), bp
+
+        if k == 0:
+            new, bp = jax.lax.cond(tb == 0, first, rest)
+        else:
+            new, bp = rest()
+        t = tb * k_block + k
+        keep = lens > jnp.float32(1.0) * t  # (1, B)
+        if k == 0:
+            keep = keep | (tb == 0)
+        la_ref[:] = jnp.where(keep, new, la_ref[:])
+        bp_ref[k] = jnp.where(keep, bp, row)
+
+    final_ref[:] = la_ref[:]
+
+
+@partial(jax.jit, static_argnames=("s_word", "band", "k_block", "interpret"))
+def word_loop_decode_pallas(
+    feats_tdb: jax.Array,
+    a: jax.Array,
+    bias: jax.Array,
+    diag: jax.Array,
+    arc_col: jax.Array,
+    entry_col: jax.Array,
+    lengths: jax.Array,
+    s_word: int,
+    band: int,
+    k_block: int = 1,
+    interpret: bool | None = None,
+):
+    """(T, D, B) features + packed constants -> (final (W*S, B) scores,
+    bp (T, W*S, B) int32 source-row backpointers; bp[0] is the identity).
+
+    a/bias/diag: pack_vocab_constants (diagonal covariance); arc_col /
+    entry_col: (W*S, 1) per-destination cross-arc weight / initial score
+    (NEG_INF off entry rows)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, D, B = feats_tdb.shape
+    M, N, twoD = a.shape
+    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    nt = T // k_block
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    tblk = lambda shape: pl.BlockSpec(
+        shape, lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM
+    )
+    bp, final = pl.pallas_call(
+        partial(_decode_kernel, M, k_block, band, s_word),
+        grid=(nt,),
+        in_specs=[
+            tblk((k_block, D, B)),
+            tvm((M, N, twoD)),
+            tvm((M, N, 1)),
+            tvm((band + 1, N, 1)),
+            tvm((N, 1)),
+            tvm((N, 1)),
+            tvm((1, B)),
+        ],
+        out_specs=[
+            tblk((k_block, N, B)),
+            tvm((N, B)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, B), jnp.int32),
+            jax.ShapeDtypeStruct((N, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, B), jnp.float32)],
+        interpret=interpret,
+    )(
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        lens,
+    )
+    return final, bp

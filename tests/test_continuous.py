@@ -337,3 +337,60 @@ def test_block_engine_scales_to_200_words():
     )
     hyps = decode_continuous(vocab, frames, n_best=1)
     assert hyps[0][1] == truth
+
+
+def test_fused_decode_matches_block_engine():
+    """The fused lane-major decode kernel (ops/pallas/decode_pallas.py)
+    must reproduce token_passing_blocks: identical final token scores per
+    utterance and identical decoded word sequences (continuous random
+    emissions — tie probability zero)."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        decode_continuous,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(0)
+    W, S, D = 5, 4, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    # utterances that roughly follow word models so decodes are non-trivial
+    utts = []
+    for b in range(4):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]  # (S, 1, D)
+            for s in range(S):
+                for _ in range(4 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    graph = compose_word_loop_blocks(vocab)
+    final_f, bps_f = token_passing_fused(
+        vocab, graph, batch, k_block=4, interpret=True
+    )
+    fin_f = np.asarray(final_f)
+
+    results = decode_continuous_batch(vocab, batch, interpret=True)
+    for b, u in enumerate(utts):
+        frames = jnp.asarray(u, jnp.float32)
+        log_b = composed_emissions(vocab, frames)
+        final_x, _ = token_passing_blocks(graph, log_b, n_best=1)
+        fx = np.asarray(final_x)[:, 0]
+        got = fin_f[:, b]
+        finite = np.isfinite(fx)
+        assert (np.isfinite(got[finite])).all()
+        np.testing.assert_allclose(got[finite], fx[finite], rtol=2e-5, atol=1e-3)
+        ref = decode_continuous(vocab, frames, n_best=1)[0]
+        score_b, words_b, spans_b = results[b]
+        assert words_b == ref[1], (b, words_b, ref[1])
+        np.testing.assert_allclose(score_b, ref[0], rtol=2e-5)
