@@ -162,16 +162,64 @@ def _decode_rtf(rng, W, S, M, D, T, n=20):
     return (time.perf_counter() - t0) / n / (T * FRAME_SHIFT_S)
 
 
+def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5):
+    """Per-utterance RTF of the fused BATCHED decode kernel
+    (ops/pallas/decode_pallas.py): B utterances decode concurrently on the
+    128 lanes, including the batched device backtrace."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.continuous import (
+        backtrace_batch_device,
+        compose_word_loop_blocks,
+        token_passing_fused,
+    )
+    from ..io.dataset import UtteranceBatch
+    from ..models import stack_models
+
+    vocab = stack_models(
+        [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
+    )
+    graph = compose_word_loop_blocks(vocab)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
+
+    def run():
+        f, b = token_passing_fused(vocab, graph, batch, interpret=False)
+        states = jnp.argmax(
+            jnp.where(jnp.arange(W * S)[:, None] % S == S - 1, f, -1e30), axis=0
+        )
+        paths = backtrace_batch_device(b, states)
+        return float(paths[0, 0] + paths[-1, -1])  # forced fetch
+
+    run()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    return (time.perf_counter() - t0) / n / (B * T * FRAME_SHIFT_S)
+
+
 def config3(rng):
     """Continuous strings: composed word-loop token-passing decode RTF at
-    W=10 (BASELINE config) and W=200 (the block engine's sub-quadratic
-    per-frame cost makes large loops practical)."""
+    W=10 (BASELINE config) and W=200 — the XLA block engine (single
+    utterance) and the fused batched decode kernel (128 utterances per
+    pass, round 3)."""
     rtf10 = _decode_rtf(rng, W=10, S=8, M=4, D=13, T=1000)
     rtf200 = _decode_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
-    return {"config": 3, "metric": "decode_rtf", "value": round(rtf10, 6),
-            "audio_s_per_s": round(1.0 / rtf10, 1),
-            "decode_rtf_w200": round(rtf200, 6),
-            "w200_audio_s_per_s": round(1.0 / rtf200, 1)}
+    out = {"config": 3, "metric": "decode_rtf", "value": round(rtf10, 6),
+           "audio_s_per_s": round(1.0 / rtf10, 1),
+           "decode_rtf_w200": round(rtf200, 6),
+           "w200_audio_s_per_s": round(1.0 / rtf200, 1)}
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            f200 = _fused_decode_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
+            out["fused_batch_rtf_w200"] = round(f200, 6)
+            out["fused_w200_audio_s_per_s"] = round(1.0 / f200, 1)
+    except Exception as e:  # pragma: no cover
+        out["fused_decode_error"] = str(e)[:120]
+    return out
 
 
 def config4(rng):

@@ -188,6 +188,11 @@ def word_loop_decode_pallas(
             jax.ShapeDtypeStruct((N, B), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((N, B), jnp.float32)],
+        # v5e VMEM is 128 MB; the default 16 MB scoped limit OOMs at
+        # W=200 with k_block > 1 (composed_pallas.py sets the same)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
