@@ -549,7 +549,7 @@ def token_passing_fused(
     vocab: GmmHmm,
     graph: BlockGraph,
     batch,
-    k_block: int = 1,
+    k_block: int = 4,
     interpret: bool | None = None,
 ):
     """Batched word-loop Viterbi on the fused lane-major decode kernel
@@ -610,7 +610,7 @@ def decode_continuous_batch(
     lm_scale: float = 1.0,
     word_insertion_penalty: float = 0.0,
     lm_initial: np.ndarray | None = None,
-    k_block: int = 1,
+    k_block: int = 4,
     interpret: bool | None = None,
 ):
     """Batched end-to-end continuous decode: ALL utterances of a padded

@@ -145,7 +145,7 @@ def word_loop_decode_pallas(
     lengths: jax.Array,
     s_word: int,
     band: int,
-    k_block: int = 1,
+    k_block: int = 4,
     interpret: bool | None = None,
 ):
     """(T, D, B) features + packed constants -> (final (W*S, B) scores,
