@@ -9,13 +9,22 @@ GEMM and one shared transition matrix across the whole 128-lane batch.
 
 Layout strategy (two lane axes, two kernel families):
 
-* **Per-utterance kernels** (emission K_E, moments K_M): grid over groups
-  of G utterances, TIME on the 128-lane axis.  Each utterance has its own
-  (N, 2D) position-bank GEMM constants (N = M * L * S, m-major), so the
-  per-mixture log-likelihood GEMM is (N, 2D) x (2D, T) per utterance —
-  a real MXU contraction; per-lane gathers never happen on device.  The
-  (B, T, L, S, M) per-mixture tensors the XLA path materializes (1.2 GB
-  at the config-4 shape) live only as one (N, T) VMEM temporary.
+* **Per-utterance bank kernels** (emission K_E, moments K_M): grid over
+  groups of G utterances, TIME on the 128-lane axis.  The ENTIRE
+  unit-state / senone parameter bank stays VMEM-resident (constant
+  BlockSpec, fetched once), and each utterance's per-position GEMM
+  constants are assembled IN-KERNEL by dynamic VMEM block copies driven
+  by scalar-prefetched transcript ids (PrefetchScalarGridSpec).  The
+  round-3 design instead materialized a per-utterance (B, M*L*S, 2D)
+  `a_pos` gather in HBM — XLA lowered it as per-element dynamic gathers
+  costing ~9.4 ms (half the config-4 E-step) and 3 extra HBM passes over
+  a ~150x-inflated copy of a 0.4 MB bank (PERF.md round-3 roofline).
+  The per-mixture log-likelihood GEMM is one (pc*R, C) x (C, T) MXU
+  contraction per 8-position chunk; the (B, T, L, S, M) per-mixture
+  tensors the XLA path materializes (1.2 GB at the config-4 shape) live
+  only as chunked VMEM temporaries.  Mixture rows are padded to Mp
+  (multiple of 8) so every assembled block copy, reshape, and
+  mixture-axis reduction is sublane-tile aligned.
 * **Per-lane lattice kernels** (forward K_F, backward+stats K_B): grid
   over time blocks, BATCH on the lane axis — the fused_em_pallas.py
   recursion structure — but with per-LANE banded transition diagonals
@@ -23,6 +32,14 @@ Layout strategy (two lane axes, two kernel families):
   utterance composes a different chain.  xi is accumulated per diagonal
   ((nbands, LS, B) running sums) instead of the shared-transition U/V
   MXU factorization.
+
+Covariance support: diagonal banks pack [mu*k | -k/2 | bias+logw] rows
+against the lift [x; x^2; 1]; FULL covariance (the reference's canonical
+T1 regime, T1:1834-1887) rides the same kernels through the Cholesky
+z-GEMM of fused_em_pallas.pack_lane_constants — bank rows are d-major
+[row d of L^T | -(L^T mu)_d] against the lift [x; 1], the quadratic form
+is an all-positive sum of squares (no cancellation), and the 1e20
+density clamp (calc_gaus T1:1880-1883) lands between density and weight.
 
 The composed chain of upper-triangular (left-right) unit transitions is
 banded with band <= S-1: within-unit arcs sit on diagonals 0..S-1 of the
@@ -49,73 +66,178 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_em_pallas import (
+    LOG_GAUS_CLAMP as _LOG_GAUS_CLAMP,
     NEG_INF,
     _TINY,
     _bwd_update,
     _fwd_update,
-    _log_b_from_q,
+    _lift,
     _shift_up,
 )
 
 # ---------------------------------------------------------------------------
-# K_E: per-utterance position-bank emission (lane axis = time)
+# K_E: per-utterance VMEM-resident-bank emission (lane axis = time)
 # ---------------------------------------------------------------------------
 
+_POS_CHUNK = 8  # positions per assembled-GEMM chunk (sublane-aligned writes)
 
-def _pos_emit_kernel(n_mix, a_ref, bias_ref, f_ref, out_ref):
-    """a_ref (G, N, 2D) m-major position-bank constants; f_ref (G, D, T);
-    out_ref (G, LS, T) per-position per-state mixture-logsumexp log_b."""
-    G, LS, _ = out_ref.shape
+
+def _pos_chunks(LS: int):
+    """Static (start, size) chunks of the LS position axis, size 8 except a
+    final remainder — starts stay multiples of 8 so every out write and
+    assembled-scratch slice is sublane-tile aligned."""
+    return [
+        (c0, min(_POS_CHUNK, LS - c0)) for c0 in range(0, LS, _POS_CHUNK)
+    ]
+
+
+def _emit_lift(x, full: bool):
+    """Emission GEMM rhs for one utterance: [x; 1] (full-cov z-GEMM) or
+    [x; x^2; 1] (diag; the trailing ones row multiplies the bias column and
+    doubles as the count column of the moment GEMM)."""
+    T = x.shape[1]
+    ones = jnp.ones((1, T), jnp.float32)
+    if full:
+        return jnp.concatenate([x, ones], axis=0)  # (D+1, T)
+    return jnp.concatenate([x, x * x, ones], axis=0)  # (2D+1, T)
+
+
+def _assemble_chunk(ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b_idx, c0, pcn, full):
+    """Copy the pcn bank entries for positions [c0, c0+pcn) of utterance
+    b_idx into the assembled scratch (VMEM block copies at dynamic leading
+    indices; aligned because R = bank_ref.shape[1] is a multiple of 8).
+
+    Every index constant is an explicit jnp.int32 — under jax_enable_x64
+    bare Python ints lower as i64 and Mosaic rejects the mixed-width
+    address arithmetic (the PERF.md kernel-constant rule).  The copy loop
+    is STATICALLY unrolled: a fori_loop pays per-iteration control
+    overhead that dominates the ~16 KB copies (hardware-measured)."""
+    R = bank_ref.shape[1]
+    for j in range(pcn):  # static unroll — only the bank row id is dynamic
+        i = ids_ref[b_idx, jnp.int32(c0 + j)]
+        a_scr[j * R : (j + 1) * R, :] = bank_ref[i]
+        if full:
+            b_scr[j : j + 1] = bias2_ref[i][None]
+
+
+def _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full):
+    """Per-mixture weighted log-likelihoods q3 (pcn, Mp, T) for one
+    assembled chunk.  diag: one (pcn*Mp, 2D+1) x (2D+1, T) GEMM (bias and
+    log-weight pre-folded into the last bank column).  full: the Cholesky
+    z-GEMM — z (pcn*D*Mp, T), all-positive sum of squares over the D
+    d-major sublane groups, then the reference's 1e20 density clamp
+    BETWEEN density and mixture weight (calc_gaus T1:1880-1883)."""
+    R = (D * Mp) if full else Mp
+    q2 = jnp.dot(
+        a_scr[0 : pcn * R, :], lift, preferred_element_type=jnp.float32
+    )  # (pcn*R, T)
+    T = lift.shape[1]
+    if full:
+        z4 = q2.reshape(pcn, D, Mp, T)
+        quad = jnp.sum(z4 * z4, axis=1)  # (pcn, Mp, T)
+        b3 = b_scr[0:pcn]  # (pcn, Mp, 2)
+        q3 = jnp.float32(-0.5) * quad + b3[:, :, 0:1]
+        q3 = jnp.minimum(q3, jnp.float32(_LOG_GAUS_CLAMP)) + b3[:, :, 1:2]
+    else:
+        q3 = q2.reshape(pcn, Mp, T)
+    return q3
+
+
+def _bank_emit_kernel(
+    LS, Mp, D, full,
+    ids_ref, bank_ref, bias2_ref, f_ref, out_ref,
+    a_scr, b_scr,
+):
+    """Emission for G utterances: in-kernel bank assembly + chunked GEMMs.
+    out_ref (G, LS, T) per-position mixture-logsumexp log_b."""
+    G = f_ref.shape[0]
+    b0 = pl.program_id(0) * jnp.int32(G)
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
     for g in range(G):  # static unroll; VMEM temporaries are reused
         x = f_ref[g]  # (D, T)
-        lift = jnp.concatenate([x, x * x], axis=0)  # (2D, T)
-        q = (
-            jnp.dot(a_ref[g], lift, preferred_element_type=jnp.float32)
-            + bias_ref[g]
-        )  # (N, T)
-        out_ref[g] = _log_b_from_q(q, LS, n_mix)
+        lift = _emit_lift(x, full)
+        for c0, pcn in _pos_chunks(LS):
+            _assemble_chunk(
+                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b0 + jnp.int32(g), c0, pcn, full
+            )
+            q3 = _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full)
+            m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
+            e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
+            lb = (jnp.log(jnp.maximum(e1, tiny)) + m1).reshape(pcn, x.shape[1])
+            out_ref[g, c0 : c0 + pcn, :] = lb
 
 
-@partial(jax.jit, static_argnames=("n_mix", "group", "interpret"))
-def pos_emission_pallas(
-    a_pos: jax.Array,
-    bias_pos: jax.Array,
+@partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
+def bank_emission_pallas(
+    ids: jax.Array,
+    bank: jax.Array,
+    bias2: jax.Array | None,
     feats_bdt: jax.Array,
-    n_mix: int,
+    n_mix_p: int,
+    full: bool = False,
     group: int = 8,
     interpret: bool | None = None,
 ):
-    """(B, N, 2D) position-bank constants + (B, D, T) features ->
-    log_b (B, LS, T).  N = n_mix * LS, m-major rows (row m*LS + p is
-    mixture m of flat position p).  T must be a multiple of 128 (lane
-    tiles); B a multiple of `group`."""
+    """VMEM-resident-bank emission: log_b (B, LS, T).
+
+    ids (B, LS) int32 flat position -> bank row (scalar-prefetched);
+    bank: diag (NB, Mp, 2D+1) rows [mu*k | -k/2 | bias+logw], full
+    (NB, D*Mp, D+1) d-major Cholesky rows [row d of L^T | -(L^T mu)_d];
+    bias2 (full only): (NB, Mp, 2) [bias, logw] — kept separate so the
+    1e20 clamp lands between density and weight; feats_bdt (B, D, T).
+    Mp = n_mix_p must be a multiple of 8 (pad mixtures with
+    bias = NEG_INF rows); B a multiple of `group`; T a multiple of 128.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, N, twoD = a_pos.shape
+    B, LS = ids.shape
     _, D, T = feats_bdt.shape
-    assert twoD == 2 * D and N % n_mix == 0 and B % group == 0, (
-        a_pos.shape, feats_bdt.shape, n_mix, group)
-    LS = N // n_mix
+    Mp = n_mix_p
+    R = (D * Mp) if full else Mp
+    C = (D + 1) if full else (2 * D + 1)
+    NB = bank.shape[0]
+    assert bank.shape == (NB, R, C), (bank.shape, (NB, R, C))
+    assert Mp % 8 == 0 and B % group == 0, (Mp, B, group)
+    if bias2 is None:
+        bias2 = jnp.zeros((1, 8, 2), jnp.float32)
     G = group
-    return pl.pallas_call(
-        partial(_pos_emit_kernel, n_mix),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((G, N, twoD), lambda b: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, 1), lambda b: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, D, T), lambda b: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                bank.shape, lambda b, ids: (0 * b,) * 3, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                bias2.shape, lambda b, ids: (0 * b,) * 3, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (G, D, T), lambda b, ids: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (G, LS, T), lambda b: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM
+            (G, LS, T), lambda b, ids: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((_POS_CHUNK * R, C), jnp.float32),
+            pltpu.VMEM((_POS_CHUNK, Mp, 2), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_bank_emit_kernel, LS, Mp, D, full),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, LS, T), jnp.float32),
-        # the statically-unrolled G-loop gets a distinct (N, T) q temporary
-        # per iteration on the Mosaic stack; lift the default 16 MB scoped
-        # limit (VMEM is 128 MB on v5e)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(a_pos.astype(jnp.float32), bias_pos.astype(jnp.float32),
-      feats_bdt.astype(jnp.float32))
+    )(
+        ids.astype(jnp.int32),
+        bank.astype(jnp.float32),
+        bias2.astype(jnp.float32),
+        feats_bdt.astype(jnp.float32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -356,89 +478,120 @@ def composed_backward_stats_pallas(
 
 
 # ---------------------------------------------------------------------------
-# K_M: per-utterance position-bank GMM moment statistics (lane axis = time)
+# K_M: per-utterance VMEM-resident-bank GMM moments (lane axis = time)
 # ---------------------------------------------------------------------------
 
 
-def _pos_mom_kernel(n_mix, a_ref, bias_ref, f_ref, lb_ref, gam_ref, mom_ref):
-    """Per-utterance gamma-weighted mixture moments.
+def _bank_mom_kernel(
+    LS, Mp, D, full,
+    ids_ref, bank_ref, bias2_ref, f_ref, lb_ref, gam_ref, mom_ref,
+    a_scr, b_scr,
+):
+    """Gamma-weighted mixture moments with in-kernel bank assembly.
 
-    a_ref/bias_ref as in _pos_emit_kernel; lb_ref (G, LS, T) the emission
-    kernel's log_b; gam_ref (G, LS, T) occupancies (already masked to the
-    valid frames by the backward kernel); mom_ref (G, N, 2D+1) m-major
-    rows of [sum gm*x, sum gm*x^2, sum gm]."""
-    G, N, _ = mom_ref.shape
-    LS = lb_ref.shape[1]
+    lb_ref / gam_ref (G, LS, T): the emission kernel's log_b and the
+    backward kernel's occupancies (already masked to valid frames);
+    mom_ref (G, LS, Mp, Cm) position-major rows of
+    [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) | sum gm].
+    The emission GEMM is recomputed in VMEM — storing per-mixture
+    posteriors would cost a (B, T, LS, M) HBM round-trip (~1.2 GB at the
+    config-4 shape, a measured ~12x loss vs recompute, PERF.md)."""
+    G = f_ref.shape[0]
+    b0 = pl.program_id(0) * jnp.int32(G)
     neg_half = jnp.float32(NEG_INF / 2)
     zero = jnp.float32(0.0)
+    Cm = mom_ref.shape[-1]
     for g in range(G):
         x = f_ref[g]  # (D, T)
         T = x.shape[1]
-        lift = jnp.concatenate([x, x * x], axis=0)  # (2D, T)
-        q = (
-            jnp.dot(a_ref[g], lift, preferred_element_type=jnp.float32)
-            + bias_ref[g]
-        )  # (N, T)
-        lb = lb_ref[g]  # (LS, T)
-        gamma = gam_ref[g]
-        rows = []
-        for m in range(n_mix):
-            qm = q[m * LS : (m + 1) * LS]
-            post = jnp.exp(jnp.minimum(qm - lb, zero))
-            post = jnp.where(lb > neg_half, post, zero)
-            rows.append(gamma * post)
-        gm = jnp.concatenate(rows, axis=0)  # (N, T)
-        lift1 = jnp.concatenate(
-            [lift, jnp.ones((1, T), jnp.float32)], axis=0
-        )  # (2D+1, T)
-        mom_ref[g] = jax.lax.dot_general(
-            gm, lift1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        lift = _emit_lift(x, full)
+        if full:
+            lift_mom = jnp.concatenate(
+                [_lift(x, True), jnp.ones((1, T), jnp.float32)], axis=0
+            )  # (D+D^2+1, T)
+        else:
+            lift_mom = lift  # (2D+1, T): same rhs, count from the ones row
+        for c0, pcn in _pos_chunks(LS):
+            _assemble_chunk(
+                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b0 + jnp.int32(g), c0, pcn, full
+            )
+            q3 = _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full)
+            lb1 = lb_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
+            gm1 = gam_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
+            post = jnp.exp(jnp.minimum(q3 - lb1, zero))
+            post = jnp.where(lb1 > neg_half, post, zero)
+            gm2 = (post * gm1).reshape(pcn * Mp, T)
+            mom2 = jax.lax.dot_general(
+                gm2, lift_mom, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (pcn*Mp, Cm)
+            mom_ref[g, c0 : c0 + pcn] = mom2.reshape(pcn, Mp, Cm)
 
 
-@partial(jax.jit, static_argnames=("n_mix", "group", "interpret"))
-def pos_moments_pallas(
-    a_pos: jax.Array,
-    bias_pos: jax.Array,
+@partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
+def bank_moments_pallas(
+    ids: jax.Array,
+    bank: jax.Array,
+    bias2: jax.Array | None,
     feats_bdt: jax.Array,
     log_b_bst: jax.Array,
     gamma_bst: jax.Array,
-    n_mix: int,
+    n_mix_p: int,
+    full: bool = False,
     group: int = 8,
     interpret: bool | None = None,
 ):
-    """Per-utterance moment statistics: (B, N, 2D+1), N m-major.
-
-    Recomputes the emission GEMM in VMEM (FLOPs are free next to the HBM
-    round-trip of a (B, T, LS, M) posterior tensor) and contracts over
-    time on the MXU."""
+    """Per-utterance moment statistics (B, LS, Mp, Cm), position-major,
+    Cm = 2D+1 (diag) or D+D^2+1 (full).  Inputs as bank_emission_pallas
+    plus that kernel's log_b and the backward kernel's gamma, both
+    (B, LS, T)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, N, twoD = a_pos.shape
+    B, LS = ids.shape
     _, D, T = feats_bdt.shape
-    LS = N // n_mix
-    assert twoD == 2 * D and B % group == 0
+    Mp = n_mix_p
+    R = (D * Mp) if full else Mp
+    C = (D + 1) if full else (2 * D + 1)
+    Cm = (D + D * D + 1) if full else (2 * D + 1)
+    assert bank.shape[1:] == (R, C) and Mp % 8 == 0 and B % group == 0
     assert log_b_bst.shape == (B, LS, T) and gamma_bst.shape == (B, LS, T)
+    if bias2 is None:
+        bias2 = jnp.zeros((1, 8, 2), jnp.float32)
     G = group
-    blk3 = lambda b: (b, 0 * b, 0 * b)
-    return pl.pallas_call(
-        partial(_pos_mom_kernel, n_mix),
+    blk3 = lambda b, ids: (b, 0 * b, 0 * b)
+    fix3 = lambda b, ids: (0 * b,) * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((G, N, twoD), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N, 1), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bank.shape, fix3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias2.shape, fix3, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, D, T), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, N, 2 * D + 1), blk3, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, 2 * D + 1), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        out_specs=pl.BlockSpec(
+            (G, LS, Mp, Cm),
+            lambda b, ids: (b, 0 * b, 0 * b, 0 * b),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_POS_CHUNK * R, C), jnp.float32),
+            pltpu.VMEM((_POS_CHUNK, Mp, 2), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_bank_mom_kernel, LS, Mp, D, full),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, LS, Mp, Cm), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
-        a_pos.astype(jnp.float32),
-        bias_pos.astype(jnp.float32),
+        ids.astype(jnp.int32),
+        bank.astype(jnp.float32),
+        bias2.astype(jnp.float32),
         feats_bdt.astype(jnp.float32),
         log_b_bst,
         gamma_bst,

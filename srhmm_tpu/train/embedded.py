@@ -201,27 +201,35 @@ def _round_up(n: int, m: int) -> int:
 
 
 def fused_positional_stats(
-    a_pos: jax.Array,
-    bias_pos: jax.Array,
+    ids: jax.Array,
+    bank: jax.Array,
+    bias2: jax.Array | None,
     pos_logt: jax.Array,
     feats: jax.Array,
     lengths: jax.Array,
     n_mix: int,
+    cov_full: bool = False,
     k_block: int = 16,
     group: int = 8,
     interpret: bool | None = None,
 ):
     """Shared fused composed-lattice E-step core (embedded AND tied paths).
 
-    a_pos (B, M*L*S, 2D) m-major per-position diag-Gaussian GEMM constants;
-    bias_pos (B, M*L*S, 1); pos_logt (B, L, S, S) per-position LEFT-RIGHT
-    unit log-transitions; feats (B, T, D); lengths (B,).
+    ids (B, L*S) int32 flat-position -> bank-row map (unit_id*S + s for
+    embedded, senone id for tied); bank / bias2: VMEM-resident parameter
+    bank from pack_position_bank_diag / pack_position_bank_full (mixtures
+    padded to Mp, a multiple of 8); pos_logt (B, L, S, S) per-position
+    LEFT-RIGHT unit log-transitions; feats (B, T, D); lengths (B,).
 
     Runs the four composed_pallas.py kernels (emission, forward,
-    backward+stats, moments) with all padding handled here, and returns
+    backward+stats, moments).  The per-utterance emission constants are
+    assembled IN-KERNEL from the bank via scalar-prefetched ids — the
+    round-3 XLA `a_pos` gather (3 HBM passes over a ~150x-inflated bank
+    copy, ~half the config-4 step) no longer exists.  Returns
     POSITION-space statistics (the caller scatters them into unit or
     senone space):
-      mom      (B, L, S, M, 2D+1)  [sum gm*x | sum gm*x^2 | sum gm]
+      mom      (B, L, S, M, Cm)  [sum gm*x | sum gm*x^2 or sum gm*vec(xx^T)
+                                  | sum gm],  Cm = 2D+1 diag, D+D^2+1 full
       den_mix  (B, L, S)
       den_trans(B, L, S)
       num_trans(B, L, S, S)        incl. chain flow folded into exit loops
@@ -229,16 +237,17 @@ def fused_positional_stats(
     """
     from ..ops.pallas.composed_pallas import (
         NEG_INF,
+        bank_emission_pallas,
+        bank_moments_pallas,
         composed_backward_stats_pallas,
         composed_forward_pallas,
-        pos_emission_pallas,
-        pos_moments_pallas,
     )
 
     B, L, S, _ = pos_logt.shape
     T = feats.shape[1]
     D = feats.shape[-1]
     M = n_mix
+    Mp = (bank.shape[1] // D) if cov_full else bank.shape[1]
     LS = L * S
     band = max(S - 1, 1)  # chain arc is flattened distance 1
     dtype = jnp.float32
@@ -250,18 +259,16 @@ def fused_positional_stats(
         feats.astype(dtype), ((0, B_pad - B), (0, T_pad - T), (0, 0))
     )
     lengths = jnp.pad(lengths, (0, B_pad - B))
-    a_pos = jnp.pad(a_pos.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0)))
-    bias_pos = jnp.pad(
-        bias_pos.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0))
-    )
+    ids = jnp.pad(ids.astype(jnp.int32), ((0, B_pad - B), (0, 0)))
     pos_logt = jnp.pad(
         pos_logt.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0), (0, 0))
     )
 
     # --- emissions (lane axis = time) --------------------------------------
     feats_bdt = jnp.transpose(feats, (0, 2, 1))  # (B, D, T)
-    log_b_bst = pos_emission_pallas(
-        a_pos, bias_pos, feats_bdt, n_mix=M, group=group, interpret=interpret
+    log_b_bst = bank_emission_pallas(
+        ids, bank, bias2, feats_bdt, n_mix_p=Mp, full=cov_full,
+        group=group, interpret=interpret,
     )  # (B, LS, T)
 
     # --- per-lane composed banded transition diagonals ---------------------
@@ -320,15 +327,13 @@ def fused_positional_stats(
 
     # --- moments (lane axis = time) ----------------------------------------
     gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
-    mom = pos_moments_pallas(
-        a_pos, bias_pos, feats_bdt, log_b_bst, gamma_bst,
-        n_mix=M, group=group, interpret=interpret,
-    )  # (B, M*LS, 2D+1)
+    mom = bank_moments_pallas(
+        ids, bank, bias2, feats_bdt, log_b_bst, gamma_bst,
+        n_mix_p=Mp, full=cov_full, group=group, interpret=interpret,
+    )  # (B, LS, Mp, Cm) position-major
 
-    mom = (
-        mom.reshape(B_pad, M, L, S, 2 * D + 1)
-        .transpose(0, 2, 3, 1, 4)[:B]  # (B, L, S, M, 2D+1)
-    )
+    Cm = mom.shape[-1]
+    mom = mom[:B, :, :M].reshape(B, L, S, M, Cm)
     den_mix = jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
     den_trans = jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
 
@@ -367,6 +372,110 @@ def pack_position_bank(means, inv_cov, weights, log_abs_det, D):
     return a, jnp.maximum(bias, NEG_INF)
 
 
+def _pad_mix(M: int) -> int:
+    """Mixture rows padded to the f32 sublane tile so every in-kernel bank
+    copy / reshape / mixture reduction is tile-aligned."""
+    return _round_up(max(M, 1), 8)
+
+
+def pack_position_bank_diag(means, inv_cov, weights, log_abs_det, D):
+    """VMEM-resident diag bank for the in-kernel-gather composed kernels:
+    (NB, Mp, 2D+1) f32 rows [mu*k | -k/2 | bias+logw], leading dims of the
+    inputs flattened to NB, mixtures padded to Mp (multiple of 8) with
+    bias = NEG_INF rows (inert in logsumexp and posteriors)."""
+    from ..ops.pallas.composed_pallas import NEG_INF
+
+    a, bias = pack_position_bank(means, inv_cov, weights, log_abs_det, D)
+    M = a.shape[-2]
+    bank = jnp.concatenate([a, bias[..., None]], axis=-1)  # (..., M, 2D+1)
+    bank = bank.reshape(-1, M, 2 * D + 1)
+    Mp = _pad_mix(M)
+    if Mp > M:
+        pad = jnp.full((bank.shape[0], Mp - M, 2 * D + 1), 0.0, bank.dtype)
+        pad = pad.at[..., -1].set(NEG_INF)
+        bank = jnp.concatenate([bank, pad], axis=1)
+    return bank.astype(jnp.float32)
+
+
+def pack_position_bank_full(means, inv_cov, weights, log_abs_det, D):
+    """VMEM-resident FULL-covariance bank (Cholesky z-GEMM lift,
+    fused_em_pallas.pack_lane_constants semantics): means (..., M, D),
+    inv_cov (..., M, D, D), weights / log_abs_det (..., M).
+
+    Returns (bank (NB, D*Mp, D+1), bias2 (NB, Mp, 2)): bank rows d-major
+    per entry — row d*Mp + m = [row d of L_m^T | -(L_m^T mu_m)_d] with
+    K_m = L_m L_m^T — so  z = bank[i] . [x; 1]  gives the Cholesky factors
+    and  quad_m = sum_d z_{d,m}^2  the quadratic form with NO cancellation;
+    bias2 = [normalizer-bias, logw] kept separate so the 1e20 density clamp
+    (calc_gaus T1:1880-1883) lands between them.  Degenerate mixtures
+    (non-finite log|det| -> NEG_INF bias; finite det, non-PD inverse ->
+    LOG_GAUS_CLAMP bias) get zeroed rows, as in pack_lane_constants."""
+    from ..ops.pallas.composed_pallas import NEG_INF
+    from ..ops.pallas.fused_em_pallas import LOG_GAUS_CLAMP
+
+    mu = means.astype(jnp.float64)  # (..., M, D)
+    kk = inv_cov.astype(jnp.float64)  # (..., M, D, D)
+    w = weights.astype(jnp.float64)
+    ld = log_abs_det.astype(jnp.float64)
+    M = mu.shape[-2]
+    norm = -0.5 * (D * math.log(2.0 * math.pi) + ld)  # (..., M)
+    logw = jnp.log(jnp.maximum(w, 1e-300))
+    chol = jnp.linalg.cholesky(kk)  # (..., M, D, D) lower, K = L L^T
+    zmu = jnp.einsum("...ed,...e->...d", chol, mu)  # L^T mu per mixture
+    det_ok = jnp.isfinite(norm)
+    ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1)) & det_ok
+    chol = jnp.where(ok[..., None, None], chol, 0.0)
+    zmu = jnp.where(ok[..., None], zmu, 0.0)
+    bias = jnp.where(ok, norm, jnp.where(det_ok, LOG_GAUS_CLAMP, NEG_INF))
+
+    # rows[..., d, m, :] = [chol[..., m, :, d] (row d of L^T) | -zmu[..., m, d]]
+    g = jnp.moveaxis(jnp.swapaxes(chol, -1, -2), -2, -3)  # (..., D, M, D)
+    c = -jnp.moveaxis(zmu, -1, -2)  # (..., D, M)
+    rows = jnp.concatenate([g, c[..., None]], axis=-1)  # (..., D, M, D+1)
+    Mp = _pad_mix(M)
+    rows = rows.reshape(-1, D, M, D + 1)
+    if Mp > M:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], D, Mp - M, D + 1), rows.dtype)],
+            axis=2,
+        )
+    bank = rows.reshape(-1, D * Mp, D + 1)
+
+    bias2 = jnp.stack(
+        [jnp.maximum(bias, NEG_INF), jnp.maximum(logw, NEG_INF)], axis=-1
+    ).reshape(-1, M, 2)  # (NB, M, 2)
+    if Mp > M:
+        pad = jnp.zeros((bias2.shape[0], Mp - M, 2), bias2.dtype)
+        pad = pad.at[..., 0].set(NEG_INF)
+        bias2 = jnp.concatenate([bias2, pad], axis=1)
+    return bank.astype(jnp.float32), bias2.astype(jnp.float32)
+
+
+def bank_vmem_bytes(n_entries: int, M: int, D: int, full: bool) -> int:
+    """VMEM footprint of the resident bank (lane-padded f32 tiles) — the
+    fused composed path requires it to fit alongside the working blocks."""
+    Mp = _pad_mix(M)
+    rows = (D * Mp) if full else Mp
+    cols = (D + 1) if full else (2 * D + 1)
+    lane = _round_up(cols, 128)
+    bank = n_entries * _round_up(rows, 8) * lane * 4
+    if full:
+        bank += n_entries * Mp * 128 * 4  # bias2
+    return bank
+
+
+# conservative resident-bank budget: VMEM on this part is ~128 MB and the
+# kernels' working blocks + double-buffered IO need headroom
+_BANK_VMEM_LIMIT = 48 * 1024 * 1024
+
+
+def fused_bank_eligible(n_entries: int, M: int, D: int, full: bool) -> bool:
+    """Whether the in-kernel-gather composed path can hold the bank
+    VMEM-resident (callers fall back to the XLA path otherwise — only
+    enormous full-covariance inventories exceed it)."""
+    return bank_vmem_bytes(n_entries, M, D, full) <= _BANK_VMEM_LIMIT
+
+
 def batch_stats_fused(
     models: GmmHmm,
     transcripts: jax.Array,
@@ -377,43 +486,47 @@ def batch_stats_fused(
     interpret: bool | None = None,
 ) -> SuffStats:
     """Batch embedded E-step on the fused composed-lattice Pallas kernels
-    (ops/pallas/composed_pallas.py) — single diagonal-covariance stream,
-    LEFT-RIGHT (upper-triangular) unit transitions.
+    (ops/pallas/composed_pallas.py) — single-stream, diagonal OR full
+    covariance, LEFT-RIGHT (upper-triangular) unit transitions.
 
     Equivalent to `batch_stats` (test-locked); none of the XLA path's
-    (B, T, L, S, M) per-mixture tensors ever reach HBM.  The composed
-    chain is banded with band <= S-1 (see composed_pallas.py), so the
-    per-lane lattice recursions run over S rolled diagonals.
+    (B, T, L, S, M) per-mixture tensors ever reach HBM, and the per-unit
+    parameter bank stays VMEM-resident (positions resolved in-kernel from
+    the scalar-prefetched transcript — no per-utterance constant gather).
+    The composed chain is banded with band <= S-1 (see composed_pallas.py),
+    so the per-lane lattice recursions run over S rolled diagonals.
     """
     stream = models.streams[0]
-    if len(models.streams) != 1 or stream.cov_type != DIAG:
-        raise ValueError("batch_stats_fused: single diagonal-covariance stream only")
+    if len(models.streams) != 1 or stream.cov_type not in (DIAG, FULL):
+        raise ValueError("batch_stats_fused: single-stream models only")
+    cov_full = stream.cov_type == FULL
     P = models.trans.shape[0]
     S = models.trans.shape[-1]
     B, L = transcripts.shape
     D = feats.shape[-1]
     M = stream.num_mixtures
-    LS = L * S
     dtype = jnp.float32
 
-    a_u, bias_u = pack_position_bank(
-        stream.means, stream.inv_cov, stream.weights, stream.log_abs_det(), D
-    )  # (P, S, M, 2D) / (P, S, M)
-    a_pos = (
-        a_u.astype(dtype)[transcripts]  # (B, L, S, M, 2D)
-        .transpose(0, 3, 1, 2, 4)
-        .reshape(B, M * LS, 2 * D)
-    )
-    bias_pos = (
-        bias_u.astype(dtype)[transcripts]
-        .transpose(0, 3, 1, 2)
-        .reshape(B, M * LS, 1)
-    )
+    # bank rows at unit-state granularity: row u*S + s
+    if cov_full:
+        bank, bias2 = pack_position_bank_full(
+            stream.means, stream.inv_cov, stream.weights,
+            stream.log_abs_det(), D,
+        )
+    else:
+        bank = pack_position_bank_diag(
+            stream.means, stream.inv_cov, stream.weights,
+            stream.log_abs_det(), D,
+        )
+        bias2 = None
+    pos_ids = (
+        transcripts[:, :, None] * S + jnp.arange(S, dtype=jnp.int32)
+    ).reshape(B, L * S)
     pos_logt = models.log_trans().astype(dtype)[transcripts]  # (B, L, S, S)
 
     mom, den_mix_p, den_trans_p, nt, safe_z, vmask = fused_positional_stats(
-        a_pos, bias_pos, pos_logt, feats, lengths, n_mix=M,
-        k_block=k_block, group=group, interpret=interpret,
+        pos_ids, bank, bias2, pos_logt, feats, lengths, n_mix=M,
+        cov_full=cov_full, k_block=k_block, group=group, interpret=interpret,
     )
 
     # --- scatter everything back to unit space -----------------------------
@@ -424,15 +537,19 @@ def batch_stats_fused(
             a.reshape(B * L, *a.shape[2:])
         )
 
+    if cov_full:
+        xx = seg(mom[..., D : D + D * D]).reshape(P, S, M, D, D)
+    else:
+        xx = seg(mom[..., D : 2 * D])
     return SuffStats(
         num_trans=seg(nt),
         den_trans=seg(den_trans_p),
         den_mix=seg(den_mix_p),
         streams=(
             StreamStats(
-                w=seg(mom[..., 2 * D]),
+                w=seg(mom[..., mom.shape[-1] - 1]),
                 x=seg(mom[..., :D]),
-                xx=seg(mom[..., D : 2 * D]),
+                xx=xx,
             ),
         ),
         log_prob=jnp.sum(safe_z * vmask),
@@ -453,6 +570,22 @@ def utterance_stats(
     )
 
 
+def _embedded_fused_default(models: GmmHmm, D: int) -> bool:
+    """Auto-select rule shared by embedded_em_step and train_embedded:
+    fused composed kernels for single-stream diag/full models on TPU with
+    a VMEM-resident-size bank."""
+    if len(models.streams) != 1 or jax.default_backend() != "tpu":
+        return False
+    stream = models.streams[0]
+    if stream.cov_type not in (DIAG, FULL):
+        return False
+    P = models.trans.shape[0]
+    S = models.trans.shape[-1]
+    return fused_bank_eligible(
+        P * S, stream.num_mixtures, D, stream.cov_type == FULL
+    )
+
+
 @partial(jax.jit, static_argnames=("var_floor", "fused"))
 def embedded_em_step(
     models: GmmHmm,
@@ -469,17 +602,13 @@ def embedded_em_step(
     Returns (new models (P-stacked), total log prob, num valid).
 
     fused=None auto-selects the fused composed-lattice Pallas E-step
-    (batch_stats_fused) on TPU for single-stream diagonal models with
-    left-right transitions (the reference structure); fused=False forces
-    the XLA path (required for full covariance, multi-stream, or
-    non-left-right unit graphs).
+    (batch_stats_fused) on TPU for single-stream models (diagonal or full
+    covariance) with left-right transitions (the reference structure);
+    fused=False forces the XLA path (required for multi-stream models,
+    non-left-right unit graphs, or banks too large for VMEM residency).
     """
     if fused is None:
-        fused = (
-            len(models.streams) == 1
-            and models.streams[0].cov_type == DIAG
-            and jax.default_backend() == "tpu"
-        )
+        fused = _embedded_fused_default(models, feats.shape[-1])
     stats = (batch_stats_fused if fused else batch_stats)(
         models, transcripts, feats, lengths
     )
@@ -553,11 +682,7 @@ def train_embedded(
     from .em_parity import TrainResult
 
     if fused is None:
-        fused = (
-            len(models.streams) == 1
-            and models.streams[0].cov_type == DIAG
-            and jax.default_backend() == "tpu"
-        )
+        fused = _embedded_fused_default(models, utterances[0].shape[1])
 
     dtype = models.trans.dtype
     buckets: dict[tuple[int, int], list[int]] = {}

@@ -164,18 +164,22 @@ def tied_batch_stats_fused(
 ):
     """tied_batch_stats on the fused composed-lattice Pallas kernels
     (ops/pallas/composed_pallas.py via train/embedded.fused_positional_stats)
-    — diagonal-covariance senones, LEFT-RIGHT unit transitions.
+    — diagonal OR full-covariance senones, LEFT-RIGHT unit transitions.
 
-    The per-position parameter bank is gathered from the SENONE inventory
-    through state_map (tying IS the gather), positional statistics come
-    back from the shared fused core, and the scatter into senone space is
-    the same segment-sum as the XLA path.  Same return contract as
-    tied_batch_stats (test-locked equivalent)."""
-    from .embedded import fused_positional_stats, pack_position_bank
+    The SENONE inventory itself is the VMEM-resident kernel bank and the
+    per-position senone ids (state_map over the transcript — tying IS the
+    id map) are the scalar-prefetched in-kernel gather indices; positional
+    statistics come back from the shared fused core, and the scatter into
+    senone space is the same segment-sum as the XLA path.  Same return
+    contract as tied_batch_stats (test-locked equivalent)."""
+    from .embedded import (
+        fused_positional_stats,
+        pack_position_bank_diag,
+        pack_position_bank_full,
+    )
 
     sen = tied.senones
-    if sen.cov_type == FULL:
-        raise ValueError("tied_batch_stats_fused: diagonal senones only")
+    cov_full = sen.cov_type == FULL
     P, S, N = tied.num_units, tied.num_states, tied.num_senones
     B, L = transcripts.shape
     D = feats.shape[-1]
@@ -183,34 +187,34 @@ def tied_batch_stats_fused(
     LS = L * S
     dtype = jnp.float32
 
-    a_sen, bias_sen = pack_position_bank(
-        sen.means, sen.inv_cov, sen.weights, sen.log_abs_det(), D
-    )  # (N, M, 2D) / (N, M)
+    if cov_full:
+        bank, bias2 = pack_position_bank_full(
+            sen.means, sen.inv_cov, sen.weights, sen.log_abs_det(), D
+        )
+    else:
+        bank = pack_position_bank_diag(
+            sen.means, sen.inv_cov, sen.weights, sen.log_abs_det(), D
+        )
+        bias2 = None
     sen_ids = tied.state_map[transcripts]  # (B, L, S)
     flat_ids = sen_ids.reshape(B, LS)
-    a_pos = (
-        a_sen.astype(dtype)[flat_ids]  # (B, LS, M, 2D)
-        .transpose(0, 2, 1, 3)
-        .reshape(B, M * LS, 2 * D)
-    )
-    bias_pos = (
-        bias_sen.astype(dtype)[flat_ids]
-        .transpose(0, 2, 1)
-        .reshape(B, M * LS, 1)
-    )
     pos_logt = tied.log_trans().astype(dtype)[transcripts]  # (B, L, S, S)
 
     mom, den_mix_p, den_trans_p, nt, safe_z, vmask = fused_positional_stats(
-        a_pos, bias_pos, pos_logt, feats, lengths, n_mix=M,
-        k_block=k_block, group=group, interpret=interpret,
+        flat_ids, bank, bias2, pos_logt, feats, lengths, n_mix=M,
+        cov_full=cov_full, k_block=k_block, group=group, interpret=interpret,
     )
 
     ids = sen_ids.reshape(B * LS)
     seg = lambda a: jnp.zeros((N,) + a.shape[3:], dtype).at[ids].add(
         a.reshape(B * LS, *a.shape[3:])
     )
+    if cov_full:
+        xx = seg(mom[..., D : D + D * D]).reshape(N, M, D, D)
+    else:
+        xx = seg(mom[..., D : 2 * D])
     sen_stats = StreamStats(
-        w=seg(mom[..., 2 * D]), x=seg(mom[..., :D]), xx=seg(mom[..., D : 2 * D])
+        w=seg(mom[..., mom.shape[-1] - 1]), x=seg(mom[..., :D]), xx=xx
     )
     den_mix = jnp.zeros((N,), dtype).at[ids].add(den_mix_p.reshape(B * LS))
 
@@ -222,6 +226,19 @@ def tied_batch_stats_fused(
         den_trans_p.reshape(B * L, S)
     )
     return sen_stats, den_mix, num_trans, den_trans, jnp.sum(safe_z * vmask), vmask.sum()
+
+
+def _tied_fused_default(tied: TiedHmmSet, D: int) -> bool:
+    """Auto-select rule shared by tied_em_step and train_tied: fused
+    composed kernels on TPU when the senone bank fits VMEM-resident."""
+    from .embedded import fused_bank_eligible
+
+    if jax.default_backend() != "tpu":
+        return False
+    sen = tied.senones
+    return fused_bank_eligible(
+        tied.num_senones, sen.weights.shape[-1], D, sen.cov_type == FULL
+    )
 
 
 @partial(jax.jit, static_argnames=("var_floor", "fused"))
@@ -237,10 +254,11 @@ def tied_em_step(
     Returns (new TiedHmmSet, total log prob, num valid).
 
     fused=None auto-selects the fused composed-lattice Pallas E-step on
-    TPU for diagonal senones (left-right unit transitions assumed, the
-    reference structure); fused=False forces the XLA path."""
+    TPU for diagonal or full-covariance senones (left-right unit
+    transitions assumed, the reference structure) whenever the senone bank
+    fits VMEM-resident; fused=False forces the XLA path."""
     if fused is None:
-        fused = tied.senones.cov_type != FULL and jax.default_backend() == "tpu"
+        fused = _tied_fused_default(tied, feats.shape[-1])
     stats = (tied_batch_stats_fused if fused else tied_batch_stats)(
         tied, transcripts, feats, lengths
     )
@@ -307,7 +325,7 @@ def train_tied(
     from .em_parity import TrainResult
 
     if fused is None:
-        fused = tied.senones.cov_type != FULL and jax.default_backend() == "tpu"
+        fused = _tied_fused_default(tied, utterances[0].shape[1])
 
     dtype = tied.trans.dtype
     buckets: dict[tuple[int, int], list[int]] = {}

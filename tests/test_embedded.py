@@ -158,6 +158,51 @@ def test_batch_stats_fused_matches_xla(S, M, L, delta):
     _stats_close(ref, got, rtol=5e-4)
 
 
+def _full_unit(seed, S=3, M=2, D=4, spread=3.0):
+    from srhmm_tpu.models import FULL
+
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(S, M, D)) * spread
+    a = rng.normal(size=(S, M, D, D + 2))
+    cov = np.einsum("smdk,smek->smde", a, a) / (D + 2)  # symmetric PD
+    cov += 0.5 * np.eye(D)
+    w = rng.uniform(0.4, 0.6, size=(S, M))
+    w /= w.sum(-1, keepdims=True)
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.asarray(w, jnp.float32),
+                means=jnp.asarray(means, jnp.float32),
+                inv_cov=jnp.asarray(np.linalg.inv(cov), jnp.float32),
+                det=jnp.asarray(np.linalg.det(cov), jnp.float32),
+                cov_type="full",
+            ),
+        ),
+        word=f"f{seed}",
+    )
+
+
+@pytest.mark.parametrize("S,M,L", [(3, 2, 3), (2, 3, 4)])
+def test_batch_stats_fused_full_cov_matches_xla(S, M, L):
+    """FULL covariance (the reference's canonical T1 regime) on the fused
+    composed-lattice kernels: the VMEM-resident bank packs the Cholesky
+    z-GEMM rows (pack_position_bank_full) and must reproduce the XLA
+    batch_stats — including the (D, D) second-moment statistics."""
+    from srhmm_tpu.train.embedded import batch_stats, batch_stats_fused
+
+    P, D, B, T = 4, 4, 3, 24
+    rng = np.random.default_rng(S * 10 + M)
+    models = stack_models([_full_unit(i, S=S, M=M, D=D) for i in range(P)])
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 7, max(L * S, 3)], jnp.int32)
+
+    ref = batch_stats(models, transcripts, feats, lengths)
+    got = batch_stats_fused(models, transcripts, feats, lengths, k_block=8)
+    _stats_close(ref, got, rtol=5e-4)
+
+
 def test_embedded_em_step_fused_trains_identically():
     """embedded_em_step(fused=True) and the XLA path produce matching
     models after two EM iterations."""

@@ -191,6 +191,43 @@ def test_tied_batch_stats_fused_matches_xla():
     assert float(got[5]) == float(ref[5])
 
 
+def test_tied_batch_stats_fused_full_cov_matches_xla():
+    """FULL-covariance senones on the fused composed-lattice kernels: the
+    senone inventory is packed as the VMEM-resident Cholesky z-GEMM bank
+    and must reproduce tied_batch_stats incl. (D, D) second moments."""
+    from test_embedded import _full_unit
+
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.models.tying import tie_from_models
+    from srhmm_tpu.train.tied import tied_batch_stats, tied_batch_stats_fused
+
+    P, S, M, D, B, T, L, N = 4, 3, 2, 4, 3, 24, 3, 8
+    rng = np.random.default_rng(3)
+    units = [_full_unit(200 + i, S=S, M=M, D=D) for i in range(P)]
+    sm = rng.integers(0, N, size=(P, S)).astype(np.int32)
+    sm[0] = [0, 1, 2]
+    tied = tie_from_models(stack_models(units), sm).astype(jnp.float32)
+    tr = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, 15, T - 2], jnp.int32)
+
+    ref = tied_batch_stats(tied, tr, feats, lengths)
+    got = tied_batch_stats_fused(tied, tr, feats, lengths, k_block=8)
+    for f in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref[0], f))
+        b = np.asarray(getattr(got[0], f))
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max())
+        )
+    for i in (1, 2, 3):
+        a, b = np.asarray(ref[i]), np.asarray(got[i])
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max())
+        )
+    np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
+    assert float(got[5]) == float(ref[5])
+
+
 def test_train_tied_driver_fused_matches_xla(setup):
     """The train_tied DRIVER must produce the same trajectory on the fused
     composed-lattice kernels as on the XLA path (round-3 fix: the driver
