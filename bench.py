@@ -243,6 +243,83 @@ def bench_recognition(cov_type: str = "diag") -> float:
     return Br * Tr * FRAME_SHIFT_S / dt
 
 
+def _stat_rel_err(ref, got) -> float:
+    import numpy as np
+
+    worst = 0.0
+    pairs = [
+        (ref.num_trans, got.num_trans),
+        (ref.den_trans, got.den_trans),
+        (ref.den_mix, got.den_mix),
+        (ref.streams[0].w, got.streams[0].w),
+        (ref.streams[0].x, got.streams[0].x),
+        (ref.streams[0].xx, got.streams[0].xx),
+    ]
+    for a, b in pairs:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        worst = max(worst, float(np.abs(a - b).max() / max(np.abs(a).max(), 1.0)))
+    return worst
+
+
+def hardware_equivalence(utts) -> dict:
+    """ON-DEVICE E-step cross-checks (round-4 gate), diag AND full cov.
+
+    Every Pallas equivalence test runs interpret-mode on the forced-CPU
+    mesh (tests/conftest.py), which structurally cannot catch Mosaic
+    miscompiles — all three hardware-only bugs found in round 3 (f64-range
+    overflow at array creation, bf16 GEMM precision, no-x64 f64 silently
+    f32) were found by ad-hoc scripts.  Two checks, both on the real chip:
+
+    1. MISCOMPILE gate: the fused kernels COMPILED (Mosaic) vs the same
+       kernels in INTERPRET mode (identical arithmetic and op order, only
+       the codegen differs) — log-Z relative <= 1e-6, stats <= 1e-5.
+       Hardware-measured bitwise identical on a healthy path, so any
+       Mosaic codegen divergence is self-announcing.
+    2. ALGORITHM gate: fused vs the independent XLA e_step — loose f32
+       bounds (log-Z rel <= 1e-2, stats <= 0.3).  The two paths differ by
+       MXU default-precision noise at raw feature scale (hardware-measured
+       3.4e-3 log-Z rel on this tunneled backend's degraded-precision
+       session state; both sit tens of nats from the f64 oracle, the
+       documented reason --cmvn exists), so this bound catches wholesale
+       divergence, not rounding.  A deliberate kernel perturbation fails
+       THIS check (it moves compiled and interpret together, away from
+       XLA).
+
+    bench.py exits nonzero if either gate fails."""
+    import jax.numpy as jnp
+
+    from srhmm_tpu.init.lbg import create_initial_model
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.train.em import e_step, e_step_fused_lane
+
+    out = {"metric": "hw_equivalence"}
+    ok = True
+    batch = pack_utterances(utts[:64], pad_multiple=128, dtype=jnp.float32)
+    for cov in ("diag", "full"):
+        model = create_initial_model([utts], S, [M], cov_type=cov).astype(
+            jnp.float32
+        )
+        comp = e_step_fused_lane(model, batch, interpret=False)
+        interp = e_step_fused_lane(model, batch, interpret=True)
+        xla = e_step(model, batch)
+        lz_c = float(comp.log_prob)
+        mis_lz = abs(lz_c - float(interp.log_prob)) / max(abs(lz_c), 1.0)
+        mis_st = _stat_rel_err(interp, comp)
+        alg_lz = abs(lz_c - float(xla.log_prob)) / max(abs(float(xla.log_prob)), 1.0)
+        alg_st = _stat_rel_err(xla, comp)
+        this_ok = bool(
+            mis_lz <= 1e-6 and mis_st <= 1e-5
+            and alg_lz <= 1e-2 and alg_st <= 0.3
+        )
+        out[f"{cov}_miscompile_log_z_rel"] = float(f"{mis_lz:.3g}")
+        out[f"{cov}_miscompile_stat_rel"] = float(f"{mis_st:.3g}")
+        out[f"{cov}_vs_xla_log_z_rel"] = float(f"{alg_lz:.3g}")
+        out[f"{cov}_vs_xla_stat_rel"] = float(f"{alg_st:.3g}")
+        ok = ok and this_ok
+    out["ok"] = ok
+    return out
+
+
 def bench_reference(utts) -> float | None:
     """Seconds per EM iteration of the reference C diag trainer; None if the
     reference isn't available.  Includes its per-iteration disk re-reads —
@@ -355,6 +432,9 @@ def main():
     except Exception as e:  # pragma: no cover
         print(json.dumps({"metric": "decode_rtf", "error": str(e)[:120]}), flush=True)
 
+    hw = hardware_equivalence(utts)
+    print(json.dumps(hw), flush=True)
+
     ours = bench_ours(utts)
     ref = bench_reference(utts)
     ours_rate = OUR_B * T * FRAME_SHIFT_S / ours
@@ -370,9 +450,12 @@ def main():
                 "decode_rtf_vs_baseline": (
                     round(BASELINE_DECODE_RTF / rtf, 1) if rtf else None
                 ),
+                "hw_equivalence_ok": hw["ok"],
             }
         )
     )
+    if not hw["ok"]:  # self-announcing Mosaic-miscompile gate
+        raise SystemExit("hardware equivalence gate FAILED: " + json.dumps(hw))
 
 
 if __name__ == "__main__":

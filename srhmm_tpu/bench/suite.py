@@ -102,6 +102,23 @@ def _time_em(model, batch, iters=10, var_floor=0.0):
     return (time.perf_counter() - t0) / iters
 
 
+def _time_em_xla(model, batch, iters=5, var_floor=0.0):
+    """Seconds/EM-iteration on the XLA (non-Pallas) path, same scan driver —
+    the in-session reference point for the fused speedup (absolute
+    throughput on the tunneled chip swings ~2x between sessions, PERF.md;
+    in-session fused/XLA ratios are stable)."""
+    import jax.numpy as jnp
+
+    from ..train.em import em_train_scan
+
+    _, lps, _ = em_train_scan(model, batch, iters, var_floor=var_floor, fused=False)
+    float(lps[-1])
+    t0 = time.perf_counter()
+    _, lps, _ = em_train_scan(model, batch, iters, var_floor=var_floor, fused=False)
+    float(lps[-1])
+    return (time.perf_counter() - t0) / iters
+
+
 def config1(rng):
     """Reference-scale: 1 word, 5 states, 1 diag Gaussian, MFCC-13."""
     import jax.numpy as jnp
@@ -112,8 +129,10 @@ def config1(rng):
     model = _rand_model(rng, S, M, D, jnp.float32)
     batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
     dt = _time_em(model, batch)
+    dt_x = _time_em_xla(model, batch)
     return {"config": 1, "metric": "em_audio_s_per_s",
-            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1)}
 
 
 def config2(rng):
@@ -126,8 +145,10 @@ def config2(rng):
     model = _rand_model(rng, S, M, D, jnp.float32)
     batch = pack_utterances(_synth_utts(rng, B, T, D, S), dtype=jnp.float32)
     dt = _time_em(model, batch)
+    dt_x = _time_em_xla(model, batch)
     return {"config": 2, "metric": "em_audio_s_per_s",
-            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1)}
 
 
 def _decode_rtf(rng, W, S, M, D, T, n=20):
@@ -246,8 +267,18 @@ def config4(rng):
         models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
     float(lp)
     dt = (time.perf_counter() - t0) / n
+    # in-session XLA reference point (2 iterations; the XLA composed path
+    # is several-fold slower, n=2 bounds bench time)
+    mx, lpx, _ = embedded_em_step(models, transcripts, feats, lengths, fused=False)
+    float(lpx)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        mx, lpx, _ = embedded_em_step(mx, transcripts, feats, lengths, fused=False)
+    float(lpx)
+    dt_x = (time.perf_counter() - t0) / 2
     return {"config": 4, "metric": "em_audio_s_per_s",
-            "value": round(B * T * FRAME_SHIFT_S / dt, 1)}
+            "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1)}
 
 
 def config5(rng):
@@ -289,8 +320,16 @@ def config5(rng):
         cur, lp, nv = tied_em_step(cur, transcripts, feats, lengths, var_floor=0.1)
     float(lp)
     dt = (_time.perf_counter() - t0) / n
+    tx, lpx, _ = tied_em_step(cur, transcripts, feats, lengths, var_floor=0.1, fused=False)
+    float(lpx)
+    t0 = _time.perf_counter()
+    for _ in range(2):
+        tx, lpx, _ = tied_em_step(tx, transcripts, feats, lengths, var_floor=0.1, fused=False)
+    float(lpx)
+    dt_x = (_time.perf_counter() - t0) / 2
     return {"config": 5, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1),
             "senones": N, "units": P, "devices": len(jax.devices())}
 
 

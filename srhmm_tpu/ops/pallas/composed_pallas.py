@@ -487,20 +487,32 @@ def _bank_mom_kernel(
     ids_ref, bank_ref, bias2_ref, f_ref, lb_ref, gam_ref, mom_ref,
     a_scr, b_scr,
 ):
-    """Gamma-weighted mixture moments with in-kernel bank assembly.
+    """Gamma-weighted mixture moments with in-kernel bank assembly AND
+    in-kernel scatter into BANK-ROW space.
 
     lb_ref / gam_ref (G, LS, T): the emission kernel's log_b and the
     backward kernel's occupancies (already masked to valid frames);
-    mom_ref (G, LS, Mp, Cm) position-major rows of
+    mom_ref (NB, Mp, Cm) — the bank-row-space accumulator, rows of
     [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) | sum gm].
-    The emission GEMM is recomputed in VMEM — storing per-mixture
-    posteriors would cost a (B, T, LS, M) HBM round-trip (~1.2 GB at the
-    config-4 shape, a measured ~12x loss vs recompute, PERF.md)."""
+    Bank-row granularity IS the statistics' scatter target (unit-state
+    rows for embedded, senones for tied), so the accumulation happens
+    here: TPU grid steps execute sequentially, making the dynamic-index
+    read-modify-writes race-free, and the (B, LS, Mp, Cm) per-utterance
+    moment tensor (63 MB at config 4: one HBM write + one scatter-add
+    read on the XLA side) never exists.  The emission GEMM is recomputed
+    in VMEM — storing per-mixture posteriors would cost a (B, T, LS, M)
+    HBM round-trip (~1.2 GB at the config-4 shape, a measured ~12x loss
+    vs recompute, PERF.md)."""
     G = f_ref.shape[0]
     b0 = pl.program_id(0) * jnp.int32(G)
     neg_half = jnp.float32(NEG_INF / 2)
     zero = jnp.float32(0.0)
     Cm = mom_ref.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        mom_ref[:] = jnp.zeros_like(mom_ref)
+
     for g in range(G):
         x = f_ref[g]  # (D, T)
         T = x.shape[1]
@@ -512,8 +524,9 @@ def _bank_mom_kernel(
         else:
             lift_mom = lift  # (2D+1, T): same rhs, count from the ones row
         for c0, pcn in _pos_chunks(LS):
+            b_idx = b0 + jnp.int32(g)
             _assemble_chunk(
-                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b0 + jnp.int32(g), c0, pcn, full
+                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b_idx, c0, pcn, full
             )
             q3 = _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full)
             lb1 = lb_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
@@ -525,7 +538,10 @@ def _bank_mom_kernel(
                 gm2, lift_mom, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (pcn*Mp, Cm)
-            mom_ref[g, c0 : c0 + pcn] = mom2.reshape(pcn, Mp, Cm)
+            mom3 = mom2.reshape(pcn, Mp, Cm)
+            for j in range(pcn):  # sequential RMW: repeated ids accumulate
+                i = ids_ref[b_idx, jnp.int32(c0 + j)]
+                mom_ref[i] += mom3[j]
 
 
 @partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
@@ -541,7 +557,8 @@ def bank_moments_pallas(
     group: int = 8,
     interpret: bool | None = None,
 ):
-    """Per-utterance moment statistics (B, LS, Mp, Cm), position-major,
+    """BANK-ROW-space moment statistics (NB, Mp, Cm) — already
+    scatter-accumulated over every utterance and position in-kernel,
     Cm = 2D+1 (diag) or D+D^2+1 (full).  Inputs as bank_emission_pallas
     plus that kernel's log_b and the backward kernel's gamma, both
     (B, LS, T)."""
@@ -553,6 +570,7 @@ def bank_moments_pallas(
     R = (D * Mp) if full else Mp
     C = (D + 1) if full else (2 * D + 1)
     Cm = (D + D * D + 1) if full else (2 * D + 1)
+    NB = bank.shape[0]
     assert bank.shape[1:] == (R, C) and Mp % 8 == 0 and B % group == 0
     assert log_b_bst.shape == (B, LS, T) and gamma_bst.shape == (B, LS, T)
     if bias2 is None:
@@ -570,10 +588,10 @@ def bank_moments_pallas(
             pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
         ],
+        # constant index map: the accumulator stays VMEM-resident across
+        # the whole grid and is flushed to HBM once
         out_specs=pl.BlockSpec(
-            (G, LS, Mp, Cm),
-            lambda b, ids: (b, 0 * b, 0 * b, 0 * b),
-            memory_space=pltpu.VMEM,
+            (NB, Mp, Cm), fix3, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((_POS_CHUNK * R, C), jnp.float32),
@@ -583,7 +601,7 @@ def bank_moments_pallas(
     return pl.pallas_call(
         partial(_bank_mom_kernel, LS, Mp, D, full),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, LS, Mp, Cm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, Mp, Cm), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -1050,6 +1050,98 @@ def em_train_scan(
     return final, lps, nvs
 
 
+def em_train_scan_sharded(
+    model: GmmHmm,
+    batch: UtteranceBatch,
+    n_iters: int,
+    mesh,
+    axis: str = "data",
+    var_floor: float = 0.0,
+    k_block: int = 32,
+    band: int | None = None,
+    interpret: bool | None = None,
+):
+    """N DATA-PARALLEL EM iterations as ONE jitted shard_map(lax.scan) —
+    multi-chip training with the same dispatch amortization as the
+    single-chip em_train_scan.
+
+    The whole N-iteration scan lives INSIDE the shard_map: each device
+    runs the fused lane-major Pallas E-step on its batch shard, the
+    sufficient statistics psum over `axis` (ICI all-reduce — EM stats are
+    linear in the data, SURVEY §2.4 DP row), and every device computes
+    the identical M-step from the reduced stats, keeping the scan carry
+    replicated by construction.  A per-iteration shard_map call
+    (e_step_fused_lane_sharded) pays the host dispatch round-trip every
+    iteration — ~25-50 ms on the tunneled backend against ~1 ms of
+    compute, making 8-chip data-parallel training SLOWER than one chip;
+    this form pays it once per N iterations.
+
+    Returns (final model, (n_iters,) log-prob history, (n_iters,)
+    num_valid history) — trajectory identical to the per-step loop
+    (test-locked on the virtual CPU mesh and in dryrun_multichip).
+
+    The batch axis must divide the mesh `axis`; the model is replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if band is None:
+        band = _trans_band_host(model.trans)
+    model = _with_log_det(model)
+    feats = jax.device_put(
+        batch.features, NamedSharding(mesh, P(axis, None, None))
+    )
+    lengths = jax.device_put(batch.lengths, NamedSharding(mesh, P(axis)))
+    fn = _jitted_sharded_scan(
+        mesh, axis, n_iters, var_floor, k_block, band, interpret,
+        jax.tree.structure(model),
+    )
+    return fn(model, feats, lengths)
+
+
+@lru_cache(maxsize=32)
+def _jitted_sharded_scan(
+    mesh, axis, n_iters, var_floor, k_block, band, interpret, model_treedef
+):
+    """Cached jitted shard_map N-iteration EM scan (one trace per
+    mesh/config, same policy as _jitted_fused_shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
+
+    def shard_fn(model, feats, lengths):
+        local = UtteranceBatch(features=feats, lengths=lengths)
+        feats_tdb = jnp.transpose(
+            feats.astype(jnp.float32), (1, 2, 0)
+        )  # local shard transpose, once for all N iterations
+
+        def step(m, _):
+            st = e_step_fused_lane(
+                m, local, feats_tdb, k_block=k_block, band=band,
+                interpret=interpret,
+            )
+            st = jax.tree.map(lambda a: jax.lax.psum(a, axis), st)
+            new = m_step(m, st, var_floor=var_floor)
+            return new, (st.log_prob, st.num_valid)
+
+        final, (lps, nvs) = jax.lax.scan(step, model, None, length=n_iters)
+        return final, lps, nvs
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_spec, P(axis, None, None), P(axis)),
+        out_specs=(model_spec, P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # psum inside the scan body establishes replication by construction
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def train_fast(
     model: GmmHmm,
     batch: UtteranceBatch,

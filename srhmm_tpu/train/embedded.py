@@ -225,11 +225,14 @@ def fused_positional_stats(
     backward+stats, moments).  The per-utterance emission constants are
     assembled IN-KERNEL from the bank via scalar-prefetched ids — the
     round-3 XLA `a_pos` gather (3 HBM passes over a ~150x-inflated bank
-    copy, ~half the config-4 step) no longer exists.  Returns
-    POSITION-space statistics (the caller scatters them into unit or
-    senone space):
-      mom      (B, L, S, M, Cm)  [sum gm*x | sum gm*x^2 or sum gm*vec(xx^T)
-                                  | sum gm],  Cm = 2D+1 diag, D+D^2+1 full
+    copy, ~half the config-4 step) no longer exists — and the GMM moment
+    statistics come back already scatter-accumulated in BANK-ROW space
+    (the moments kernel RMWs its VMEM-resident accumulator; the round-3
+    (B, L, S, M, 2D+1) per-utterance moment tensor and its XLA
+    segment-sum are gone).  Returns:
+      mom      (NB, Mp, Cm)  bank-row rows of [sum gm*x | sum gm*x^2 or
+               sum gm*vec(xx^T) | sum gm], Cm = 2D+1 diag, D+D^2+1 full;
+               slice [:, :n_mix] for the real mixtures
       den_mix  (B, L, S)
       den_trans(B, L, S)
       num_trans(B, L, S, S)        incl. chain flow folded into exit loops
@@ -325,15 +328,12 @@ def fused_positional_stats(
         final=LS - 1, k_block=k_block, band=band, interpret=interpret,
     )
 
-    # --- moments (lane axis = time) ----------------------------------------
+    # --- moments (lane axis = time; in-kernel bank-row scatter) -----------
     gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
     mom = bank_moments_pallas(
         ids, bank, bias2, feats_bdt, log_b_bst, gamma_bst,
         n_mix_p=Mp, full=cov_full, group=group, interpret=interpret,
-    )  # (B, LS, Mp, Cm) position-major
-
-    Cm = mom.shape[-1]
-    mom = mom[:B, :, :M].reshape(B, L, S, M, Cm)
+    )  # (NB, Mp, Cm) bank-row space, already accumulated over B and LS
     den_mix = jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
     den_trans = jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
 
@@ -452,16 +452,18 @@ def pack_position_bank_full(means, inv_cov, weights, log_abs_det, D):
 
 
 def bank_vmem_bytes(n_entries: int, M: int, D: int, full: bool) -> int:
-    """VMEM footprint of the resident bank (lane-padded f32 tiles) — the
-    fused composed path requires it to fit alongside the working blocks."""
+    """VMEM footprint of the resident bank PLUS the moments kernel's
+    bank-row-space accumulator (lane-padded f32 tiles) — the fused
+    composed path requires both to fit alongside the working blocks."""
     Mp = _pad_mix(M)
     rows = (D * Mp) if full else Mp
     cols = (D + 1) if full else (2 * D + 1)
-    lane = _round_up(cols, 128)
-    bank = n_entries * _round_up(rows, 8) * lane * 4
+    bank = n_entries * _round_up(rows, 8) * _round_up(cols, 128) * 4
     if full:
         bank += n_entries * Mp * 128 * 4  # bias2
-    return bank
+    cm = (D + D * D + 1) if full else (2 * D + 1)
+    mom_acc = n_entries * Mp * _round_up(cm, 128) * 4
+    return bank + mom_acc
 
 
 # conservative resident-bank budget: VMEM on this part is ~128 MB and the
@@ -529,7 +531,8 @@ def batch_stats_fused(
         cov_full=cov_full, k_block=k_block, group=group, interpret=interpret,
     )
 
-    # --- scatter everything back to unit space -----------------------------
+    # --- unit space: moments arrive pre-scattered (bank row = u*S + s) ----
+    mom = mom[:, :M].reshape(P, S, M, -1)  # (P, S, M, Cm)
     ids = transcripts.reshape(B * L)
 
     def seg(a):  # (B, L, ...) -> (P, ...)
@@ -538,17 +541,17 @@ def batch_stats_fused(
         )
 
     if cov_full:
-        xx = seg(mom[..., D : D + D * D]).reshape(P, S, M, D, D)
+        xx = mom[..., D : D + D * D].reshape(P, S, M, D, D)
     else:
-        xx = seg(mom[..., D : 2 * D])
+        xx = mom[..., D : 2 * D]
     return SuffStats(
         num_trans=seg(nt),
         den_trans=seg(den_trans_p),
         den_mix=seg(den_mix_p),
         streams=(
             StreamStats(
-                w=seg(mom[..., mom.shape[-1] - 1]),
-                x=seg(mom[..., :D]),
+                w=mom[..., mom.shape[-1] - 1],
+                x=mom[..., :D],
                 xx=xx,
             ),
         ),

@@ -205,16 +205,15 @@ def tied_batch_stats_fused(
         cov_full=cov_full, k_block=k_block, group=group, interpret=interpret,
     )
 
+    # senone-space moments arrive pre-scattered (bank row = senone id)
+    mom = mom[:, :M]  # (N, M, Cm)
     ids = sen_ids.reshape(B * LS)
-    seg = lambda a: jnp.zeros((N,) + a.shape[3:], dtype).at[ids].add(
-        a.reshape(B * LS, *a.shape[3:])
-    )
     if cov_full:
-        xx = seg(mom[..., D : D + D * D]).reshape(N, M, D, D)
+        xx = mom[..., D : D + D * D].reshape(N, M, D, D)
     else:
-        xx = seg(mom[..., D : 2 * D])
+        xx = mom[..., D : 2 * D]
     sen_stats = StreamStats(
-        w=seg(mom[..., mom.shape[-1] - 1]), x=seg(mom[..., :D]), xx=xx
+        w=mom[..., mom.shape[-1] - 1], x=mom[..., :D], xx=xx
     )
     den_mix = jnp.zeros((N,), dtype).at[ids].add(den_mix_p.reshape(B * LS))
 

@@ -98,3 +98,47 @@ def test_fused_lane_sharded_matches_single_device():
         a = np.asarray(getattr(ref.streams[0], name))
         b = np.asarray(getattr(got.streams[0], name))
         np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-4 * np.abs(a).max())
+
+
+def test_sharded_scan_trajectory_matches_per_step():
+    """em_train_scan_sharded (the WHOLE N-iteration scan inside one
+    shard_map, psum in the scan body) must reproduce the per-step
+    e_step_fused_lane_sharded + m_step loop's trajectory exactly —
+    multi-chip training with single-chip dispatch amortization."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from srhmm_tpu.train.em import (
+        e_step_fused_lane_sharded,
+        em_train_scan_sharded,
+        m_step,
+        _with_log_det,
+    )
+
+    model, batch = _toy()
+    model = _with_log_det(model.astype(jnp.float32))
+    batch = batch.replace(features=batch.features.astype(jnp.float32))
+    mesh = make_mesh(n_data=8, n_model=1)
+    n_iters = 4
+
+    final, lps, nvs = em_train_scan_sharded(
+        model, batch, n_iters, mesh, k_block=8
+    )
+
+    cur = model
+    ref_lps = []
+    for _ in range(n_iters):
+        st = e_step_fused_lane_sharded(cur, batch, mesh, k_block=8)
+        ref_lps.append(float(st.log_prob))
+        cur = m_step(cur, st)
+
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(ref_lps), rtol=1e-6)
+    assert np.all(np.asarray(nvs) == batch.batch_size)
+    # f32 accumulation order differs between the scanned and per-step
+    # shard_map programs and compounds over the 4 chained M-steps;
+    # parameters agree to accumulated f32 roundoff (the per-iteration
+    # log-prob check above is the exact-trajectory assertion)
+    for la, lb in zip(jax.tree.leaves(final), jax.tree.leaves(cur)):
+        a = np.asarray(la)
+        np.testing.assert_allclose(
+            np.asarray(lb), a, rtol=1e-3, atol=1e-3 * max(1.0, np.abs(a).max())
+        )
