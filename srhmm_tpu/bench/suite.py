@@ -183,10 +183,12 @@ def _decode_rtf(rng, W, S, M, D, T, n=20):
     return (time.perf_counter() - t0) / n / (T * FRAME_SHIFT_S)
 
 
-def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5):
+def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False):
     """Per-utterance RTF of the fused BATCHED decode kernel
     (ops/pallas/decode_pallas.py): B utterances decode concurrently on the
-    128 lanes, including the batched device backtrace."""
+    128 lanes, including the batched device backtrace.  bigram=True runs a
+    genuine (W, W) LM through the in-kernel (max, +) cross-arc contraction
+    (round 4)."""
     import jax
     import jax.numpy as jnp
 
@@ -201,7 +203,8 @@ def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5):
     vocab = stack_models(
         [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
     )
-    graph = compose_word_loop_blocks(vocab)
+    lm = np.log(rng.dirichlet(np.ones(W), size=W)) if bigram else None
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
 
@@ -238,6 +241,11 @@ def config3(rng):
             f200 = _fused_decode_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
             out["fused_batch_rtf_w200"] = round(f200, 6)
             out["fused_w200_audio_s_per_s"] = round(1.0 / f200, 1)
+            bg200 = _fused_decode_rtf(
+                rng, W=200, S=8, M=4, D=13, T=1000, bigram=True
+            )
+            out["bigram_fused_rtf_w200"] = round(bg200, 6)
+            out["bigram_fused_w200_audio_s_per_s"] = round(1.0 / bg200, 1)
     except Exception as e:  # pragma: no cover
         out["fused_decode_error"] = str(e)[:120]
     return out

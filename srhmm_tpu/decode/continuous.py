@@ -557,10 +557,14 @@ def token_passing_fused(
     recursion + cross-word merge in ONE kernel over all utterances, the
     backpointer lattice as the only large HBM write.
 
-    batch: UtteranceBatch (B, T, D).  Requires a single diagonal stream
-    and a unigram-decomposable cross arc (graph.arc rows identical —
-    uniform/unigram LMs); n_best=1.  Returns (final (W*S, B) scores,
-    bps (T, W*S, B) int32, both trimmed to the original B)."""
+    batch: UtteranceBatch (B, T, D).  Requires a single diagonal stream;
+    n_best=1.  Unigram-decomposable cross arcs (graph.arc rows identical —
+    uniform/unigram LMs) use the O(W*S) reduction; genuine BIGRAM arcs run
+    the in-kernel (W, W) (max, +) contraction (round 4) when s_word is a
+    multiple of 8 and the W^2 working set fits VMEM (W <= ~256 at B=128) —
+    otherwise raise, callers keep the XLA engine.  Returns (final
+    (W*S, B) scores, bps (T, W*S, B) int32, both trimmed to the original
+    B)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
@@ -569,13 +573,20 @@ def token_passing_fused(
     if len(vocab.streams) != 1 or stream.cov_type != "diag":
         raise ValueError("token_passing_fused: single diagonal stream only")
     arc = np.asarray(graph.arc, np.float64)
-    if not np.allclose(arc, arc[0:1]):
-        raise ValueError(
-            "token_passing_fused: bigram arcs are not unigram-decomposable; "
-            "use token_passing_blocks"
-        )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     N = W * S
+    unigram = bool(np.allclose(arc, arc[0:1]))
+    if not unigram:
+        if S % 8 != 0:
+            raise ValueError(
+                "token_passing_fused: bigram arcs need s_word % 8 == 0 "
+                "(pad states) — use token_passing_blocks"
+            )
+        if W * W * 128 * 4 * 2 > 48 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused: bigram W^2 working set exceeds the "
+                "VMEM budget — use token_passing_blocks"
+            )
     feats = batch.features
     lengths = batch.lengths
     B, T, D = feats.shape
@@ -587,8 +598,11 @@ def token_passing_fused(
 
     a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
     entry_rows = np.arange(W) * S
-    arc_col = np.full((N, 1), DNEG)
-    arc_col[entry_rows, 0] = arc[0]
+    if unigram:
+        arc_col = np.full((N, 1), DNEG)
+        arc_col[entry_rows, 0] = arc[0]
+    else:
+        arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
 

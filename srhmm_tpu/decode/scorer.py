@@ -109,11 +109,12 @@ def score_batch(
     (ops/pallas/scoring_pallas.py — one kernel for ALL utterances x ALL
     words, features read once) on TPU for single-stream f32 vocabularies,
     diagonal or full covariance (full cov rides the Cholesky z-GEMM — the
-    reference's committed R1 fixture models score on the fused path);
-    score_batch_log otherwise.  impl: None=auto, "fused"/"xla" to force."""
+    reference's committed R1 fixture models score on the fused path), incl.
+    HETEROGENEOUS padded vocabularies (pad_stack_models final_states ride
+    a per-word gather on the kernel output); score_batch_log otherwise.
+    impl: None=auto, "fused"/"xla" to force."""
     eligible = (
-        final_states is None
-        and len(vocab.streams) == 1
+        len(vocab.streams) == 1
         and vocab.streams[0].cov_type in ("diag", "full")
         and getattr(batch.features, "dtype", None) == jnp.float32
         and jax.default_backend() == "tpu"
@@ -128,7 +129,10 @@ def score_batch(
     if use_fused:
         from ..ops.pallas.scoring_pallas import score_batch_fused_lane
 
-        return score_batch_fused_lane(vocab, batch, mode=mode, interpret=False)
+        return score_batch_fused_lane(
+            vocab, batch, mode=mode, final_states=final_states,
+            interpret=False,
+        )
     return score_batch_log(vocab, batch, mode=mode, final_states=final_states)
 
 

@@ -12,14 +12,22 @@ decode/continuous.py's XLA engine (token_passing_blocks) processes one
 utterance per scan and re-reads a precomputed (T, W*S) emission tensor;
 here B utterances decode concurrently and emissions never touch HBM.
 
-Cross-word arcs use the UNIGRAM decomposition: when every exit state sees
-the same per-destination arc weight (arc[w, v] = f(v) — true for uniform
-and unigram LMs), the best cross-word candidate at entry v is
-(max over exit tokens) + f(v): an O(W*S) sublane reduction per frame
-instead of the O(W^2) all-pairs expansion.  Bigram LMs (arc genuinely
-(W, W)) fall back to the XLA engine — (max, +) contractions do not map
-to the MXU, and the per-frame W^2 B VPU cost would erase the batching
-win.
+Cross-word arcs come in two forms:
+
+* UNIGRAM decomposition: when every exit state sees the same
+  per-destination arc weight (arc[w, v] = f(v) — uniform and unigram
+  LMs), the best cross-word candidate at entry v is (max over exit
+  tokens) + f(v): an O(W*S) sublane reduction per frame.
+* BIGRAM (round 4): a genuine (W, W) arc runs the (max, +) contraction
+  cross[v] = max_u(exit[u] + arc[u, v]) as a per-frame broadcast-reduce
+  over a (W_src, W_dst, B) candidate block (plus a second equality pass
+  for the argmax backpointers).  (max, +) does not map to the MXU, but
+  at W=200 the 2 * W^2 * B VPU elements/frame are a minor add-on to the
+  per-frame W*S*M emission GEMM.  Requires s_word % 8 == 0 (the exit-row
+  extraction and entry-row scatter are layout-free (W, S, B) reshapes);
+  pad vocabularies to an 8-multiple state count otherwise.  Very large
+  vocabularies (W^2 * B temporaries past the VMEM budget) stay on the
+  XLA engine.
 
 K-best is n_best=1 in-kernel (the production decode); K>1 stays on the
 XLA engine.  Tie-breaks may differ from the XLA engine (it prefers the
@@ -42,26 +50,29 @@ _TINY = 1e-38
 
 
 def _decode_kernel(
-    n_mix, k_block, band, s_word,
+    n_mix, k_block, band, s_word, bigram,
     feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, len_ref,
     bp_ref, final_ref,
     la_ref,
 ):
     """Grid: ascending time blocks.  Block shapes: feats (k_block, D, B);
-    a (M, N, 2D); bias (M, N, 1); diag (band+1, N, 1); arc / entry (N, 1)
-    (per-destination cross-arc weight / initial score at entry rows,
-    NEG_INF elsewhere); len (1, B).  Outputs: bp (k_block, N, B) int32
+    a (M, N, 2D); bias (M, N, 1); diag (band+1, N, 1); arc: (N, 1)
+    per-destination cross-arc weight at entry rows (unigram) or (W, W)
+    full bigram arc matrix; entry (N, 1) initial score at entry rows,
+    NEG_INF elsewhere; len (1, B).  Outputs: bp (k_block, N, B) int32
     source-row backpointers; final (N, B) last-frame scores.  Scratch:
     la (N, B) token carry."""
     tb = pl.program_id(0)
     N = la_ref.shape[0]
     B = la_ref.shape[1]
+    W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = row_in_word == jnp.int32(s_word - 1)
+    is_entry = row_in_word == jnp.int32(0)
 
     for k in range(k_block):
         x = feats_ref[k]  # (D, B)
@@ -104,20 +115,48 @@ def _decode_kernel(
                 take = cand > best
                 best = jnp.where(take, cand, best)
                 bp = jnp.where(take, row - jnp.int32(d), bp)
-            # cross-word: best exit token + per-destination arc (unigram
-            # decomposition, module docstring); deterministic lowest-row
-            # tie-break via the masked min-reduce
-            exit_m = jnp.where(is_exit, carry, neg)
-            m_exit = jnp.max(exit_m, axis=0, keepdims=True)  # (1, B)
-            am_exit = jnp.min(
-                jnp.where(exit_m == m_exit, row, jnp.int32(N)),
-                axis=0,
-                keepdims=True,
-            )  # (1, B)
-            cross = m_exit + arc_ref[:]  # (N, B); NEG_INF off entry rows
+            if bigram:
+                # full (W, W) cross-arc (max, +) contraction (module
+                # docstring): exit scores via the layout-free (W, S, B)
+                # split (s_word % 8 == 0), then a (W_src, W_dst, B)
+                # broadcast-max plus an equality pass for the argmax
+                exit_w = carry.reshape(W, s_word, B)[:, s_word - 1, :]
+                cand = exit_w[:, None, :] + arc_ref[:][:, :, None]
+                cr_w = jnp.max(cand, axis=0)  # (W_dst, B)
+                src_r = jax.lax.broadcasted_iota(jnp.int32, (W, W, B), 0)
+                am_w = jnp.min(
+                    jnp.where(cand == cr_w[None], src_r, jnp.int32(N)),
+                    axis=0,
+                )  # (W_dst, B) source-WORD index of the best exit
+                cross = jnp.where(
+                    is_entry,
+                    jnp.broadcast_to(
+                        cr_w[:, None, :], (W, s_word, B)
+                    ).reshape(N, B),
+                    neg,
+                )
+                bp_x = jnp.broadcast_to(
+                    (am_w * jnp.int32(s_word) + jnp.int32(s_word - 1))[
+                        :, None, :
+                    ],
+                    (W, s_word, B),
+                ).reshape(N, B)
+            else:
+                # unigram decomposition: best exit token + per-destination
+                # arc; deterministic lowest-row tie-break via the masked
+                # min-reduce
+                exit_m = jnp.where(is_exit, carry, neg)
+                m_exit = jnp.max(exit_m, axis=0, keepdims=True)  # (1, B)
+                am_exit = jnp.min(
+                    jnp.where(exit_m == m_exit, row, jnp.int32(N)),
+                    axis=0,
+                    keepdims=True,
+                )  # (1, B)
+                cross = m_exit + arc_ref[:]  # (N, B); NEG_INF off entry rows
+                bp_x = jnp.broadcast_to(am_exit, (N, B))
             take_x = cross > best
             best = jnp.where(take_x, cross, best)
-            bp = jnp.where(take_x, jnp.broadcast_to(am_exit, (N, B)), bp)
+            bp = jnp.where(take_x, bp_x, bp)
             return jnp.maximum(best + log_b, neg), bp
 
         if k == 0:
@@ -151,14 +190,21 @@ def word_loop_decode_pallas(
     """(T, D, B) features + packed constants -> (final (W*S, B) scores,
     bp (T, W*S, B) int32 source-row backpointers; bp[0] is the identity).
 
-    a/bias/diag: pack_vocab_constants (diagonal covariance); arc_col /
-    entry_col: (W*S, 1) per-destination cross-arc weight / initial score
-    (NEG_INF off entry rows)."""
+    a/bias/diag: pack_vocab_constants (diagonal covariance); arc_col:
+    (W*S, 1) per-destination cross-arc weight at entry rows (unigram) OR
+    (W, W) full bigram arc matrix (requires s_word % 8 == 0, module
+    docstring); entry_col: (W*S, 1) initial score (NEG_INF off entry
+    rows)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
     M, N, twoD = a.shape
     assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
+    if bigram:
+        assert s_word % 8 == 0, (
+            "bigram fused decode requires s_word % 8 == 0 (pad states)"
+        )
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
     tvm = lambda shape: pl.BlockSpec(
@@ -168,14 +214,14 @@ def word_loop_decode_pallas(
         shape, lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM
     )
     bp, final = pl.pallas_call(
-        partial(_decode_kernel, M, k_block, band, s_word),
+        partial(_decode_kernel, M, k_block, band, s_word, bigram),
         grid=(nt,),
         in_specs=[
             tblk((k_block, D, B)),
             tvm((M, N, twoD)),
             tvm((M, N, 1)),
             tvm((band + 1, N, 1)),
-            tvm((N, 1)),
+            tvm(arc_col.shape),
             tvm((N, 1)),
             tvm((1, B)),
         ],

@@ -387,6 +387,7 @@ def score_batch_fused_lane(
     semiring: str = "sum",
     k_block: int = 32,
     w_block: int | None = None,
+    final_states: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """(B, W) scores of every utterance against every word on the fused
@@ -396,6 +397,13 @@ def score_batch_fused_lane(
 
     mode: "total" (R1, logsumexp over states) or "final" (R2, last state).
     semiring="max" gives Viterbi (best-path) scores instead of forward.
+    final_states: optional (W,) per-word final-state indices for
+    HETEROGENEOUS vocabularies (pad_stack_models): filler states are
+    unreachable inside the kernel (their banded-transition diagonals are
+    NEG_INF and their all-zero-weight mixtures emit ~NEG_INF), so "total"
+    needs no change and "final" is a per-word gather on the (W, S, B)
+    output — the reference's linked-list recognizer freely mixes
+    states_number across .hmm models (recognition-fs:201-245).
     Any (B, T) is accepted: lanes zero-pad to the 128 tile and time to the
     k_block tile (padded lanes return -inf scores and are sliced off).
     """
@@ -438,7 +446,11 @@ def score_batch_fused_lane(
         scores = jax.nn.logsumexp(jnp.maximum(la, NEG_INF), axis=1)  # (W, B)
         scores = jnp.where(scores > NEG_INF / 2, scores, -jnp.inf)
     else:
-        scores = jnp.where(
-            la[:, S - 1, :] > NEG_INF / 2, la[:, S - 1, :], -jnp.inf
-        )
+        if final_states is None:
+            fin = la[:, S - 1, :]
+        else:
+            fin = jnp.take_along_axis(
+                la, final_states.astype(jnp.int32)[:, None, None], axis=1
+            )[:, 0, :]
+        scores = jnp.where(fin > NEG_INF / 2, fin, -jnp.inf)
     return scores.T  # (B, W)

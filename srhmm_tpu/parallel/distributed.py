@@ -29,8 +29,16 @@ import jax
 def initialize(**kwargs) -> None:
     """jax.distributed.initialize, skipped when single-host (or already
     initialized).  Env-driven on TPU pods (coordinator discovery is
-    automatic); kwargs pass through for manual setups."""
-    if jax.process_count() > 1:
+    automatic); kwargs pass through for manual setups.
+
+    MUST be called before any device/backend query: probing
+    jax.process_count() (or jax.devices()) initializes the local backend
+    and poisons distributed startup — the original wrapper did exactly
+    that and silently swallowed the resulting error, leaving every
+    "multi-host" run secretly single-process (caught by
+    tests/test_distributed.py's two-process smoke test)."""
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         return  # already initialized
     spec = os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs.get(
         "coordinator_address"
@@ -40,8 +48,9 @@ def initialize(**kwargs) -> None:
         return  # single host
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+    except RuntimeError as e:  # re-init is benign; real failures propagate
+        if "already" not in str(e).lower():
+            raise
 
 
 def is_coordinator() -> bool:

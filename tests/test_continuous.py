@@ -394,3 +394,56 @@ def test_fused_decode_matches_block_engine():
         score_b, words_b, spans_b = results[b]
         assert words_b == ref[1], (b, words_b, ref[1])
         np.testing.assert_allclose(score_b, ref[0], rtol=2e-5)
+
+
+def test_fused_decode_bigram_matches_block_engine():
+    """BIGRAM LM on the fused decode kernel (round 4): the in-kernel
+    (W, W) (max, +) cross-arc contraction must reproduce
+    token_passing_blocks with the same bigram graph — final token scores
+    and decoded word sequences (needs s_word % 8 == 0)."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        token_passing_blocks,
+        token_passing_fused,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(3)
+    W, S, D = 5, 8, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    # a genuinely non-decomposable bigram: per-(src, dst) log-probs
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))  # (W, W) rows normalized
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
+    assert not np.allclose(np.asarray(graph.arc), np.asarray(graph.arc)[0:1])
+
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    final_f, bps_f = token_passing_fused(
+        vocab, graph, batch, k_block=4, interpret=True
+    )
+    fin_f = np.asarray(final_f)
+
+    for b, u in enumerate(utts):
+        frames = jnp.asarray(u, jnp.float32)
+        log_b = composed_emissions(vocab, frames)
+        final_x, _ = token_passing_blocks(graph, log_b, n_best=1)
+        fx = np.asarray(final_x)[:, 0]
+        got = fin_f[:, b]
+        finite = np.isfinite(fx)
+        assert np.isfinite(got[finite]).all()
+        np.testing.assert_allclose(got[finite], fx[finite], rtol=2e-5, atol=1e-3)

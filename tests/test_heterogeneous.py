@@ -236,3 +236,42 @@ def test_recognize_cli_model_set_ensembling(tmp_path):
     order = [words[i] for i in np.argsort(-want)]
     out_lines = [l for l in r.stdout.splitlines() if ":" in l and l.split(":")[0].strip() in words]
     assert [l.split(":")[0].strip() for l in out_lines[: len(words)]] == order
+
+
+@pytest.mark.parametrize("mode", ["total", "final"])
+def test_fused_scorer_heterogeneous_matches_xla(mode):
+    """HETEROGENEOUS padded vocabularies on the fused scoring kernel
+    (interpret mode on CPU): filler states are unreachable in-kernel and
+    final-state scoring gathers the per-word final_states indices — must
+    reproduce score_batch_log on the same padded stack (round-4 fix: the
+    fused scorer previously required final_states is None)."""
+    from srhmm_tpu.decode.scorer import score_batch_log
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+    models = [
+        _model(4, 2, seed=1, word="a"),
+        _model(6, 1, seed=2, word="b"),
+        _model(3, 3, seed=3, word="c"),
+        _model(5, 2, seed=4, word="d"),
+    ]
+    stacked, final_states = pad_stack_models(models)
+    stacked = stacked.astype(jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = pack_utterances(
+        [rng.normal(size=(40 + 7 * i, 6)) for i in range(5)],
+        pad_multiple=16,
+        dtype=jnp.float32,
+    )
+    ref = np.asarray(
+        score_batch_log(stacked, batch, mode=mode, final_states=final_states)
+    )
+    got = np.asarray(
+        score_batch_fused_lane(
+            stacked, batch, mode=mode, final_states=final_states,
+            k_block=8, interpret=True,
+        )
+    )
+    finite = np.isfinite(ref)
+    assert (np.isfinite(got) == finite).all()
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=2e-4, atol=2e-3)
