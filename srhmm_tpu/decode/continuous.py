@@ -628,10 +628,13 @@ def decode_continuous_batch(
     interpret: bool | None = None,
 ):
     """Batched end-to-end continuous decode: ALL utterances of a padded
-    batch decode in one fused kernel pass (token_passing_fused) plus one
-    batched device backtrace.  Returns a list over utterances of
+    batch decode in one fused kernel pass (token_passing_fused — unigram
+    and, since round 4, bigram LMs) plus one batched device backtrace.
+    Falls back to the per-utterance XLA block engine when the fused
+    kernel is ineligible (non-diag streams, bigram with s_word % 8 != 0,
+    or W^2 past the VMEM budget).  Returns a list over utterances of
     (score, word_ids, word_spans) — the best hypothesis per utterance
-    (n_best=1; use decode_continuous for K-best or bigram LMs)."""
+    (n_best=1; use decode_continuous for K-best)."""
     graph = compose_word_loop_blocks(
         vocab,
         lm_logprobs=lm_logprobs,
@@ -641,9 +644,31 @@ def decode_continuous_batch(
         lm_initial=lm_initial,
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    final, bps = token_passing_fused(
-        vocab, graph, batch, k_block=k_block, interpret=interpret
-    )
+    try:
+        final, bps = token_passing_fused(
+            vocab, graph, batch, k_block=k_block, interpret=interpret
+        )
+    except ValueError:
+        lengths_np = np.asarray(batch.lengths)
+        out = []
+        for b in range(batch.features.shape[0]):
+            L = int(lengths_np[b])
+            if L <= 0:
+                out.append((float("-inf"), [], []))
+                continue
+            frames = batch.features[b, :L]
+            hyp = decode_continuous(
+                vocab,
+                frames,
+                lm_logprobs=lm_logprobs,
+                exit_logprob=exit_logprob,
+                lm_scale=lm_scale,
+                word_insertion_penalty=word_insertion_penalty,
+                lm_initial=lm_initial,
+                n_best=1,
+            )[0]
+            out.append(hyp)
+        return out
     fin = np.asarray(final)  # (W*S, B)
     exit_rows = np.arange(W) * S + (S - 1)
     best_states = exit_rows[np.argmax(fin[exit_rows], axis=0)]  # (B,)

@@ -143,38 +143,71 @@ def _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full):
     return q3
 
 
+def _chunk_lse(q3, pcn, T, neg, tiny):
+    """Per-position mixture logsumexp of a (pcn, Mp, T) chunk -> (pcn, T)."""
+    m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
+    e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
+    return (jnp.log(jnp.maximum(e1, tiny)) + m1).reshape(pcn, T)
+
+
 def _bank_emit_kernel(
-    LS, Mp, D, full,
-    ids_ref, bank_ref, bias2_ref, f_ref, out_ref,
-    a_scr, b_scr,
+    LS, Mps, Ds, full,
+    ids_ref, *refs,
 ):
-    """Emission for G utterances: in-kernel bank assembly + chunked GEMMs.
-    out_ref (G, LS, T) per-position mixture-logsumexp log_b."""
-    G = f_ref.shape[0]
+    """Emission for G utterances: in-kernel bank assembly + chunked GEMMs,
+    one or more parameter STREAMS (the reference's product-of-streams
+    emission, T1:1437-1441 — per-stream logsumexps sum into one log_b).
+    refs: per-stream bank, bias2, feats(G, D_p, T); then out_ref
+    (G, LS, T); then per-stream scratches a_scr, b_scr."""
+    P = len(Mps)
+    bank_refs = refs[0:P]
+    bias2_refs = refs[P : 2 * P]
+    f_refs = refs[2 * P : 3 * P]
+    out_ref = refs[3 * P]
+    a_scrs = refs[3 * P + 1 : 3 * P + 1 + P]
+    b_scrs = refs[3 * P + 1 + P :]
+    G = f_refs[0].shape[0]
+    T = f_refs[0].shape[2]
     b0 = pl.program_id(0) * jnp.int32(G)
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
     for g in range(G):  # static unroll; VMEM temporaries are reused
-        x = f_ref[g]  # (D, T)
-        lift = _emit_lift(x, full)
+        lifts = [_emit_lift(f_refs[p][g], full) for p in range(P)]
         for c0, pcn in _pos_chunks(LS):
-            _assemble_chunk(
-                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b0 + jnp.int32(g), c0, pcn, full
-            )
-            q3 = _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full)
-            m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
-            e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
-            lb = (jnp.log(jnp.maximum(e1, tiny)) + m1).reshape(pcn, x.shape[1])
-            out_ref[g, c0 : c0 + pcn, :] = lb
+            lb = None
+            for p in range(P):
+                _assemble_chunk(
+                    ids_ref, bank_refs[p], bias2_refs[p], a_scrs[p],
+                    b_scrs[p], b0 + jnp.int32(g), c0, pcn, full,
+                )
+                q3 = _chunk_q(
+                    a_scrs[p], b_scrs[p], lifts[p], Mps[p], Ds[p], pcn, full
+                )
+                lb_p = _chunk_lse(q3, pcn, T, neg, tiny)
+                lb = lb_p if lb is None else lb + lb_p
+            out_ref[g, c0 : c0 + pcn, :] = jnp.maximum(lb, neg)
+
+
+def _norm_streams(bank, bias2, feats_bdt, n_mix_p):
+    """Normalize single-stream args to per-stream tuples."""
+    banks = bank if isinstance(bank, tuple) else (bank,)
+    P = len(banks)
+    bias2s = bias2 if isinstance(bias2, tuple) else (bias2,) * P
+    featss = feats_bdt if isinstance(feats_bdt, tuple) else (feats_bdt,)
+    mps = n_mix_p if isinstance(n_mix_p, tuple) else (n_mix_p,)
+    bias2s = tuple(
+        jnp.zeros((1, 8, 2), jnp.float32) if b is None else b for b in bias2s
+    )
+    return banks, bias2s, featss, mps
 
 
 @partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
 def bank_emission_pallas(
     ids: jax.Array,
-    bank: jax.Array,
-    bias2: jax.Array | None,
-    feats_bdt: jax.Array,
-    n_mix_p: int,
+    bank,
+    bias2,
+    feats_bdt,
+    n_mix_p,
     full: bool = False,
     group: int = 8,
     interpret: bool | None = None,
@@ -188,44 +221,47 @@ def bank_emission_pallas(
     1e20 clamp lands between density and weight; feats_bdt (B, D, T).
     Mp = n_mix_p must be a multiple of 8 (pad mixtures with
     bias = NEG_INF rows); B a multiple of `group`; T a multiple of 128.
+
+    MULTI-STREAM (the reference's product-of-streams emission,
+    T1:1437-1441): pass tuples for bank / bias2 / feats_bdt / n_mix_p —
+    one entry per stream, homogeneous cov type, shared ids; the output
+    is the summed per-stream mixture logsumexp.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    banks, bias2s, featss, mps = _norm_streams(bank, bias2, feats_bdt, n_mix_p)
+    P = len(banks)
     B, LS = ids.shape
-    _, D, T = feats_bdt.shape
-    Mp = n_mix_p
-    R = (D * Mp) if full else Mp
-    C = (D + 1) if full else (2 * D + 1)
-    NB = bank.shape[0]
-    assert bank.shape == (NB, R, C), (bank.shape, (NB, R, C))
-    assert Mp % 8 == 0 and B % group == 0, (Mp, B, group)
-    if bias2 is None:
-        bias2 = jnp.zeros((1, 8, 2), jnp.float32)
+    T = featss[0].shape[2]
+    ds = tuple(f.shape[1] for f in featss)
+    rs = [(d * m if full else m) for d, m in zip(ds, mps)]
+    cs = [((d + 1) if full else (2 * d + 1)) for d in ds]
+    for p in range(P):
+        assert banks[p].shape[1:] == (rs[p], cs[p]), (p, banks[p].shape)
+        assert mps[p] % 8 == 0
+    assert B % group == 0
     G = group
+    fix3 = lambda b, ids: (0 * b,) * 3
+    blk3 = lambda b, ids: (b, 0 * b, 0 * b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec(
-                bank.shape, lambda b, ids: (0 * b,) * 3, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                bias2.shape, lambda b, ids: (0 * b,) * 3, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (G, D, T), lambda b, ids: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (G, LS, T), lambda b, ids: (b, 0 * b, 0 * b), memory_space=pltpu.VMEM
+        in_specs=(
+            [pl.BlockSpec(bk.shape, fix3, memory_space=pltpu.VMEM) for bk in banks]
+            + [pl.BlockSpec(b2.shape, fix3, memory_space=pltpu.VMEM) for b2 in bias2s]
+            + [
+                pl.BlockSpec((G, d, T), blk3, memory_space=pltpu.VMEM)
+                for d in ds
+            ]
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_POS_CHUNK * R, C), jnp.float32),
-            pltpu.VMEM((_POS_CHUNK, Mp, 2), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((_POS_CHUNK * r, c), jnp.float32) for r, c in zip(rs, cs)]
+            + [pltpu.VMEM((_POS_CHUNK, m, 2), jnp.float32) for m in mps]
+        ),
     )
     return pl.pallas_call(
-        partial(_bank_emit_kernel, LS, Mp, D, full),
+        partial(_bank_emit_kernel, LS, mps, ds, full),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, LS, T), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -234,9 +270,9 @@ def bank_emission_pallas(
         interpret=interpret,
     )(
         ids.astype(jnp.int32),
-        bank.astype(jnp.float32),
-        bias2.astype(jnp.float32),
-        feats_bdt.astype(jnp.float32),
+        *[bk.astype(jnp.float32) for bk in banks],
+        *[b2.astype(jnp.float32) for b2 in bias2s],
+        *[f.astype(jnp.float32) for f in featss],
     )
 
 
@@ -483,76 +519,103 @@ def composed_backward_stats_pallas(
 
 
 def _bank_mom_kernel(
-    LS, Mp, D, full,
-    ids_ref, bank_ref, bias2_ref, f_ref, lb_ref, gam_ref, mom_ref,
-    a_scr, b_scr,
+    LS, Mps, Ds, full,
+    ids_ref, *refs,
 ):
     """Gamma-weighted mixture moments with in-kernel bank assembly AND
-    in-kernel scatter into BANK-ROW space.
+    in-kernel scatter into BANK-ROW space, one or more streams.
 
-    lb_ref / gam_ref (G, LS, T): the emission kernel's log_b and the
-    backward kernel's occupancies (already masked to valid frames);
-    mom_ref (NB, Mp, Cm) — the bank-row-space accumulator, rows of
-    [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) | sum gm].
-    Bank-row granularity IS the statistics' scatter target (unit-state
-    rows for embedded, senones for tied), so the accumulation happens
-    here: TPU grid steps execute sequentially, making the dynamic-index
-    read-modify-writes race-free, and the (B, LS, Mp, Cm) per-utterance
-    moment tensor (63 MB at config 4: one HBM write + one scatter-add
-    read on the XLA side) never exists.  The emission GEMM is recomputed
-    in VMEM — storing per-mixture posteriors would cost a (B, T, LS, M)
-    HBM round-trip (~1.2 GB at the config-4 shape, a measured ~12x loss
-    vs recompute, PERF.md)."""
-    G = f_ref.shape[0]
+    refs: per-stream bank, bias2, feats(G, D_p, T); then lb_ref / gam_ref
+    (G, LS, T) — the emission kernel's (summed) log_b and the backward
+    kernel's occupancies (already masked to valid frames); then
+    per-stream mom_ref (NB, Mp_p, Cm_p) accumulators, rows of
+    [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) | sum gm];
+    then per-stream scratches.  Bank-row granularity IS the statistics'
+    scatter target (unit-state rows for embedded, senones for tied), so
+    the accumulation happens here: TPU grid steps execute sequentially,
+    making the dynamic-index read-modify-writes race-free, and the
+    (B, LS, Mp, Cm) per-utterance moment tensor (63 MB at config 4: one
+    HBM write + one scatter-add read on the XLA side) never exists.  The
+    emission GEMMs are recomputed in VMEM — storing per-mixture
+    posteriors would cost a (B, T, LS, M) HBM round-trip (~1.2 GB at the
+    config-4 shape, a measured ~12x loss vs recompute, PERF.md).  Each
+    stream's posteriors normalize by its OWN recomputed mixture
+    logsumexp (the stored log_b is the cross-stream sum and only drives
+    the lattice)."""
+    P = len(Mps)
+    bank_refs = refs[0:P]
+    bias2_refs = refs[P : 2 * P]
+    f_refs = refs[2 * P : 3 * P]
+    lb_ref, gam_ref = refs[3 * P : 3 * P + 2]
+    mom_refs = refs[3 * P + 2 : 4 * P + 2]
+    a_scrs = refs[4 * P + 2 : 5 * P + 2]
+    b_scrs = refs[5 * P + 2 :]
+    G = f_refs[0].shape[0]
+    T = f_refs[0].shape[2]
     b0 = pl.program_id(0) * jnp.int32(G)
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
     neg_half = jnp.float32(NEG_INF / 2)
     zero = jnp.float32(0.0)
-    Cm = mom_ref.shape[-1]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        mom_ref[:] = jnp.zeros_like(mom_ref)
+        for p in range(P):
+            mom_refs[p][:] = jnp.zeros_like(mom_refs[p])
 
     for g in range(G):
-        x = f_ref[g]  # (D, T)
-        T = x.shape[1]
-        lift = _emit_lift(x, full)
+        lifts = [_emit_lift(f_refs[p][g], full) for p in range(P)]
         if full:
-            lift_mom = jnp.concatenate(
-                [_lift(x, True), jnp.ones((1, T), jnp.float32)], axis=0
-            )  # (D+D^2+1, T)
+            lift_moms = [
+                jnp.concatenate(
+                    [_lift(f_refs[p][g], True), jnp.ones((1, T), jnp.float32)],
+                    axis=0,
+                )
+                for p in range(P)
+            ]  # (D+D^2+1, T) each
         else:
-            lift_mom = lift  # (2D+1, T): same rhs, count from the ones row
+            lift_moms = lifts  # (2D+1, T): same rhs, count from the ones row
         for c0, pcn in _pos_chunks(LS):
             b_idx = b0 + jnp.int32(g)
-            _assemble_chunk(
-                ids_ref, bank_ref, bias2_ref, a_scr, b_scr, b_idx, c0, pcn, full
-            )
-            q3 = _chunk_q(a_scr, b_scr, lift, Mp, D, pcn, full)
-            lb1 = lb_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
+            lb_sum1 = lb_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
             gm1 = gam_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
-            post = jnp.exp(jnp.minimum(q3 - lb1, zero))
-            post = jnp.where(lb1 > neg_half, post, zero)
-            gm2 = (post * gm1).reshape(pcn * Mp, T)
-            mom2 = jax.lax.dot_general(
-                gm2, lift_mom, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (pcn*Mp, Cm)
-            mom3 = mom2.reshape(pcn, Mp, Cm)
-            for j in range(pcn):  # sequential RMW: repeated ids accumulate
-                i = ids_ref[b_idx, jnp.int32(c0 + j)]
-                mom_ref[i] += mom3[j]
+            for p in range(P):
+                Mp, Cm = Mps[p], mom_refs[p].shape[-1]
+                _assemble_chunk(
+                    ids_ref, bank_refs[p], bias2_refs[p], a_scrs[p],
+                    b_scrs[p], b_idx, c0, pcn, full,
+                )
+                q3 = _chunk_q(
+                    a_scrs[p], b_scrs[p], lifts[p], Mp, Ds[p], pcn, full
+                )
+                if P == 1:
+                    lb1 = lb_sum1  # single stream: stored log_b IS its lse
+                else:
+                    m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
+                    e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
+                    lb1 = jnp.log(jnp.maximum(e1, tiny)) + m1
+                post = jnp.exp(jnp.minimum(q3 - lb1, zero))
+                post = jnp.where(lb1 > neg_half, post, zero)
+                gm2 = (post * gm1).reshape(pcn * Mp, T)
+                mom2 = jax.lax.dot_general(
+                    gm2, lift_moms[p], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (pcn*Mp, Cm)
+                mom3 = mom2.reshape(pcn, Mp, Cm)
+                for j in range(pcn):  # sequential RMW: repeats accumulate
+                    i = ids_ref[b_idx, jnp.int32(c0 + j)]
+                    mom_refs[p][i] += mom3[j]
 
 
 @partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
 def bank_moments_pallas(
     ids: jax.Array,
-    bank: jax.Array,
-    bias2: jax.Array | None,
-    feats_bdt: jax.Array,
+    bank,
+    bias2,
+    feats_bdt,
     log_b_bst: jax.Array,
     gamma_bst: jax.Array,
-    n_mix_p: int,
+    n_mix_p,
     full: bool = False,
     group: int = 8,
     interpret: bool | None = None,
@@ -561,56 +624,70 @@ def bank_moments_pallas(
     scatter-accumulated over every utterance and position in-kernel,
     Cm = 2D+1 (diag) or D+D^2+1 (full).  Inputs as bank_emission_pallas
     plus that kernel's log_b and the backward kernel's gamma, both
-    (B, LS, T)."""
+    (B, LS, T).  MULTI-STREAM: pass tuples (bank_emission_pallas
+    contract); returns a tuple of per-stream moment accumulators."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    multi = isinstance(bank, tuple)
+    banks, bias2s, featss, mps = _norm_streams(bank, bias2, feats_bdt, n_mix_p)
+    P = len(banks)
     B, LS = ids.shape
-    _, D, T = feats_bdt.shape
-    Mp = n_mix_p
-    R = (D * Mp) if full else Mp
-    C = (D + 1) if full else (2 * D + 1)
-    Cm = (D + D * D + 1) if full else (2 * D + 1)
-    NB = bank.shape[0]
-    assert bank.shape[1:] == (R, C) and Mp % 8 == 0 and B % group == 0
+    T = featss[0].shape[2]
+    ds = tuple(f.shape[1] for f in featss)
+    rs = [(d * m if full else m) for d, m in zip(ds, mps)]
+    cs = [((d + 1) if full else (2 * d + 1)) for d in ds]
+    cms = [((d + d * d + 1) if full else (2 * d + 1)) for d in ds]
+    nbs = [bk.shape[0] for bk in banks]
+    for p in range(P):
+        assert banks[p].shape[1:] == (rs[p], cs[p]) and mps[p] % 8 == 0
+    assert B % group == 0
     assert log_b_bst.shape == (B, LS, T) and gamma_bst.shape == (B, LS, T)
-    if bias2 is None:
-        bias2 = jnp.zeros((1, 8, 2), jnp.float32)
     G = group
     blk3 = lambda b, ids: (b, 0 * b, 0 * b)
     fix3 = lambda b, ids: (0 * b,) * 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // G,),
-        in_specs=[
-            pl.BlockSpec(bank.shape, fix3, memory_space=pltpu.VMEM),
-            pl.BlockSpec(bias2.shape, fix3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, D, T), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
-        ],
-        # constant index map: the accumulator stays VMEM-resident across
-        # the whole grid and is flushed to HBM once
-        out_specs=pl.BlockSpec(
-            (NB, Mp, Cm), fix3, memory_space=pltpu.VMEM
+        in_specs=(
+            [pl.BlockSpec(bk.shape, fix3, memory_space=pltpu.VMEM) for bk in banks]
+            + [pl.BlockSpec(b2.shape, fix3, memory_space=pltpu.VMEM) for b2 in bias2s]
+            + [
+                pl.BlockSpec((G, d, T), blk3, memory_space=pltpu.VMEM)
+                for d in ds
+            ]
+            + [
+                pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
+            ]
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_POS_CHUNK * R, C), jnp.float32),
-            pltpu.VMEM((_POS_CHUNK, Mp, 2), jnp.float32),
+        # constant index maps: the accumulators stay VMEM-resident across
+        # the whole grid and are flushed to HBM once
+        out_specs=[
+            pl.BlockSpec((nbs[p], mps[p], cms[p]), fix3, memory_space=pltpu.VMEM)
+            for p in range(P)
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((_POS_CHUNK * r, c), jnp.float32) for r, c in zip(rs, cs)]
+            + [pltpu.VMEM((_POS_CHUNK, m, 2), jnp.float32) for m in mps]
+        ),
     )
-    return pl.pallas_call(
-        partial(_bank_mom_kernel, LS, Mp, D, full),
+    out = pl.pallas_call(
+        partial(_bank_mom_kernel, LS, mps, ds, full),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NB, Mp, Cm), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((nbs[p], mps[p], cms[p]), jnp.float32)
+            for p in range(P)
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(
         ids.astype(jnp.int32),
-        bank.astype(jnp.float32),
-        bias2.astype(jnp.float32),
-        feats_bdt.astype(jnp.float32),
+        *[bk.astype(jnp.float32) for bk in banks],
+        *[b2.astype(jnp.float32) for b2 in bias2s],
+        *[f.astype(jnp.float32) for f in featss],
         log_b_bst,
         gamma_bst,
     )
+    return tuple(out) if multi else out[0]

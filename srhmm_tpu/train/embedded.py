@@ -246,11 +246,17 @@ def fused_positional_stats(
         composed_forward_pallas,
     )
 
+    multi = isinstance(bank, tuple)
+    banks = bank if multi else (bank,)
+    bias2s = bias2 if multi else (bias2,)
+    P_s = len(banks)
     B, L, S, _ = pos_logt.shape
     T = feats.shape[1]
     D = feats.shape[-1]
-    M = n_mix
-    Mp = (bank.shape[1] // D) if cov_full else bank.shape[1]
+    mixes = n_mix if multi else (n_mix,)
+    mps = tuple(
+        (bk.shape[1] // D) if cov_full else bk.shape[1] for bk in banks
+    )
     LS = L * S
     band = max(S - 1, 1)  # chain arc is flattened distance 1
     dtype = jnp.float32
@@ -269,8 +275,9 @@ def fused_positional_stats(
 
     # --- emissions (lane axis = time) --------------------------------------
     feats_bdt = jnp.transpose(feats, (0, 2, 1))  # (B, D, T)
+    feats_tup = (feats_bdt,) * P_s  # streams share the feature matrix
     log_b_bst = bank_emission_pallas(
-        ids, bank, bias2, feats_bdt, n_mix_p=Mp, full=cov_full,
+        ids, banks, bias2s, feats_tup, n_mix_p=mps, full=cov_full,
         group=group, interpret=interpret,
     )  # (B, LS, T)
 
@@ -331,9 +338,11 @@ def fused_positional_stats(
     # --- moments (lane axis = time; in-kernel bank-row scatter) -----------
     gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
     mom = bank_moments_pallas(
-        ids, bank, bias2, feats_bdt, log_b_bst, gamma_bst,
-        n_mix_p=Mp, full=cov_full, group=group, interpret=interpret,
-    )  # (NB, Mp, Cm) bank-row space, already accumulated over B and LS
+        ids, banks, bias2s, feats_tup, log_b_bst, gamma_bst,
+        n_mix_p=mps, full=cov_full, group=group, interpret=interpret,
+    )  # per-stream (NB, Mp, Cm) bank-row accumulators
+    if not multi:
+        mom = mom[0]
     den_mix = jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
     den_trans = jnp.transpose(den_trans_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]
 
@@ -488,51 +497,65 @@ def batch_stats_fused(
     interpret: bool | None = None,
 ) -> SuffStats:
     """Batch embedded E-step on the fused composed-lattice Pallas kernels
-    (ops/pallas/composed_pallas.py) — single-stream, diagonal OR full
-    covariance, LEFT-RIGHT (upper-triangular) unit transitions.
+    (ops/pallas/composed_pallas.py) — one or MORE streams (homogeneous
+    cov type: the reference's product-of-streams emission, T1:1437-1441),
+    diagonal OR full covariance, LEFT-RIGHT (upper-triangular) unit
+    transitions.
 
     Equivalent to `batch_stats` (test-locked); none of the XLA path's
     (B, T, L, S, M) per-mixture tensors ever reach HBM, and the per-unit
-    parameter bank stays VMEM-resident (positions resolved in-kernel from
-    the scalar-prefetched transcript — no per-utterance constant gather).
-    The composed chain is banded with band <= S-1 (see composed_pallas.py),
-    so the per-lane lattice recursions run over S rolled diagonals.
+    parameter banks stay VMEM-resident (positions resolved in-kernel from
+    the scalar-prefetched transcript — no per-utterance constant gather;
+    GMM moments scatter in-kernel into unit-state rows).  The composed
+    chain is banded with band <= S-1 (see composed_pallas.py), so the
+    per-lane lattice recursions run over S rolled diagonals.
     """
-    stream = models.streams[0]
-    if len(models.streams) != 1 or stream.cov_type not in (DIAG, FULL):
-        raise ValueError("batch_stats_fused: single-stream models only")
-    cov_full = stream.cov_type == FULL
+    cov = models.streams[0].cov_type
+    if cov not in (DIAG, FULL) or any(
+        s.cov_type != cov for s in models.streams
+    ):
+        raise ValueError(
+            "batch_stats_fused: homogeneous diag/full streams required"
+        )
+    cov_full = cov == FULL
+    multi = len(models.streams) > 1
     P = models.trans.shape[0]
     S = models.trans.shape[-1]
     B, L = transcripts.shape
     D = feats.shape[-1]
-    M = stream.num_mixtures
     dtype = jnp.float32
 
     # bank rows at unit-state granularity: row u*S + s
-    if cov_full:
-        bank, bias2 = pack_position_bank_full(
-            stream.means, stream.inv_cov, stream.weights,
-            stream.log_abs_det(), D,
-        )
-    else:
-        bank = pack_position_bank_diag(
-            stream.means, stream.inv_cov, stream.weights,
-            stream.log_abs_det(), D,
-        )
-        bias2 = None
+    banks, bias2s, mixes = [], [], []
+    for stream in models.streams:
+        if cov_full:
+            bk, b2 = pack_position_bank_full(
+                stream.means, stream.inv_cov, stream.weights,
+                stream.log_abs_det(), D,
+            )
+        else:
+            bk = pack_position_bank_diag(
+                stream.means, stream.inv_cov, stream.weights,
+                stream.log_abs_det(), D,
+            )
+            b2 = None
+        banks.append(bk)
+        bias2s.append(b2)
+        mixes.append(stream.num_mixtures)
     pos_ids = (
         transcripts[:, :, None] * S + jnp.arange(S, dtype=jnp.int32)
     ).reshape(B, L * S)
     pos_logt = models.log_trans().astype(dtype)[transcripts]  # (B, L, S, S)
 
+    bank_in = tuple(banks) if multi else banks[0]
+    bias2_in = tuple(bias2s) if multi else bias2s[0]
+    mix_in = tuple(mixes) if multi else mixes[0]
     mom, den_mix_p, den_trans_p, nt, safe_z, vmask = fused_positional_stats(
-        pos_ids, bank, bias2, pos_logt, feats, lengths, n_mix=M,
+        pos_ids, bank_in, bias2_in, pos_logt, feats, lengths, n_mix=mix_in,
         cov_full=cov_full, k_block=k_block, group=group, interpret=interpret,
     )
 
     # --- unit space: moments arrive pre-scattered (bank row = u*S + s) ----
-    mom = mom[:, :M].reshape(P, S, M, -1)  # (P, S, M, Cm)
     ids = transcripts.reshape(B * L)
 
     def seg(a):  # (B, L, ...) -> (P, ...)
@@ -540,21 +563,25 @@ def batch_stats_fused(
             a.reshape(B * L, *a.shape[2:])
         )
 
-    if cov_full:
-        xx = mom[..., D : D + D * D].reshape(P, S, M, D, D)
-    else:
-        xx = mom[..., D : 2 * D]
+    moms = mom if multi else (mom,)
+    stream_stats = []
+    for p_s, m_p in enumerate(moms):
+        M = mixes[p_s]
+        m_p = m_p[:, :M].reshape(P, S, M, -1)  # (P, S, M, Cm)
+        if cov_full:
+            xx = m_p[..., D : D + D * D].reshape(P, S, M, D, D)
+        else:
+            xx = m_p[..., D : 2 * D]
+        stream_stats.append(
+            StreamStats(
+                w=m_p[..., m_p.shape[-1] - 1], x=m_p[..., :D], xx=xx
+            )
+        )
     return SuffStats(
         num_trans=seg(nt),
         den_trans=seg(den_trans_p),
         den_mix=seg(den_mix_p),
-        streams=(
-            StreamStats(
-                w=mom[..., mom.shape[-1] - 1],
-                x=mom[..., :D],
-                xx=xx,
-            ),
-        ),
+        streams=tuple(stream_stats),
         log_prob=jnp.sum(safe_z * vmask),
         num_valid=vmask.sum(),
     )
@@ -575,18 +602,22 @@ def utterance_stats(
 
 def _embedded_fused_default(models: GmmHmm, D: int) -> bool:
     """Auto-select rule shared by embedded_em_step and train_embedded:
-    fused composed kernels for single-stream diag/full models on TPU with
-    a VMEM-resident-size bank."""
-    if len(models.streams) != 1 or jax.default_backend() != "tpu":
+    fused composed kernels for homogeneous diag/full streams on TPU with
+    VMEM-resident-size banks (all streams' banks must co-reside)."""
+    if jax.default_backend() != "tpu":
         return False
-    stream = models.streams[0]
-    if stream.cov_type not in (DIAG, FULL):
+    cov = models.streams[0].cov_type
+    if cov not in (DIAG, FULL) or any(
+        s.cov_type != cov for s in models.streams
+    ):
         return False
     P = models.trans.shape[0]
     S = models.trans.shape[-1]
-    return fused_bank_eligible(
-        P * S, stream.num_mixtures, D, stream.cov_type == FULL
+    total = sum(
+        bank_vmem_bytes(P * S, s.num_mixtures, D, cov == FULL)
+        for s in models.streams
     )
+    return total <= _BANK_VMEM_LIMIT
 
 
 @partial(jax.jit, static_argnames=("var_floor", "fused"))

@@ -257,3 +257,36 @@ def test_train_embedded_driver_fused_matches_xla(setup):
         np.asarray(r_xla.model.streams[0].means),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_batch_stats_fused_multi_stream_matches_xla():
+    """MULTI-STREAM embedded models (product-of-streams emission,
+    T1:1437-1441) on the fused composed-lattice kernels: per-stream
+    VMEM-resident banks, summed per-stream logsumexps in the emission
+    kernel, per-stream in-kernel moment scatters — must reproduce the XLA
+    batch_stats (round 4: closes the last silent composed fallback)."""
+    from srhmm_tpu.train.embedded import batch_stats, batch_stats_fused
+
+    P, S, D, B, T, L = 4, 3, 4, 3, 24, 3
+    rng = np.random.default_rng(11)
+
+    def unit2(seed):
+        u1 = _unit(seed, S=S, M=2, D=D)
+        u2 = _unit(seed + 50, S=S, M=3, D=D)
+        return u1.replace(streams=(u1.streams[0], u2.streams[0]))
+
+    models = stack_models([unit2(i) for i in range(P)]).astype(jnp.float32)
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 7, max(L * S, 3)], jnp.int32)
+
+    ref = batch_stats(models, transcripts, feats, lengths)
+    got = batch_stats_fused(models, transcripts, feats, lengths, k_block=8)
+    _stats_close(ref, got, rtol=5e-4)
+    # second stream's stats too (helper only checks stream 0)
+    for f in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[1], f))
+        b = np.asarray(getattr(got.streams[1], f))
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max())
+        )
