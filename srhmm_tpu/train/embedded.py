@@ -25,7 +25,7 @@ TPU-native design:
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -585,6 +585,71 @@ def batch_stats_fused(
         log_prob=jnp.sum(safe_z * vmask),
         num_valid=vmask.sum(),
     )
+
+
+def batch_stats_fused_sharded(
+    models: GmmHmm,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    mesh,
+    axis: str = "data",
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+) -> SuffStats:
+    """Data-parallel fused composed E-step: each device runs the
+    bank-gather kernels on its utterance shard, unit-space statistics
+    psum over `axis` (EM stats are linear in the data — SURVEY §2.4; the
+    senone/unit scatter-reductions ARE the mixture-sharded multi-host EM
+    all-reduce payload of BASELINE config 5).  GSPMD cannot partition
+    pallas_call, so the partitioning is explicit shard_map + ICI psum,
+    exactly like train/em.e_step_fused_lane_sharded.  The batch axis
+    must divide the mesh `axis`; the model is replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    transcripts = jax.device_put(
+        transcripts, NamedSharding(mesh, P(axis, None))
+    )
+    feats = jax.device_put(feats, NamedSharding(mesh, P(axis, None, None)))
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P(axis)))
+    fn = _jitted_fused_composed_shard(
+        mesh, axis, k_block, group, interpret, jax.tree.structure(models)
+    )
+    return fn(models, transcripts, feats, lengths)
+
+
+@lru_cache(maxsize=32)
+def _jitted_fused_composed_shard(
+    mesh, axis, k_block, group, interpret, model_treedef
+):
+    """Cached jitted shard_map fused composed E-step (one trace per
+    mesh/config — the train/em._jitted_fused_shard policy)."""
+    from jax.sharding import PartitionSpec as P
+
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
+
+    def shard_fn(models, transcripts, feats, lengths):
+        st = batch_stats_fused(
+            models, transcripts, feats, lengths,
+            k_block=k_block, group=group, interpret=interpret,
+        )
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), st)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_spec, P(axis, None), P(axis, None, None), P(axis)),
+        out_specs=P(),
+        # pallas outputs carry no varying-mesh-axes annotation; the psum
+        # establishes the replicated out_specs by construction
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def utterance_stats(

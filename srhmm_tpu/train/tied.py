@@ -14,7 +14,7 @@ the scatter-reductions become the mixture-sharded multi-host EM all-reduces.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -225,6 +225,62 @@ def tied_batch_stats_fused(
         den_trans_p.reshape(B * L, S)
     )
     return sen_stats, den_mix, num_trans, den_trans, jnp.sum(safe_z * vmask), vmask.sum()
+
+
+def tied_batch_stats_fused_sharded(
+    tied: TiedHmmSet,
+    transcripts: jax.Array,
+    feats: jax.Array,
+    lengths: jax.Array,
+    mesh,
+    axis: str = "data",
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+):
+    """Data-parallel fused tied E-step: each device runs the bank-gather
+    kernels on its utterance shard, senone/unit-space statistics psum
+    over `axis` — the mixture-sharded multi-host EM all-reduce of
+    BASELINE config 5, on the fused kernels (GSPMD cannot partition
+    pallas_call; explicit shard_map + ICI psum, the
+    train/em.e_step_fused_lane_sharded pattern).  Same return contract
+    as tied_batch_stats."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    transcripts = jax.device_put(
+        transcripts, NamedSharding(mesh, P(axis, None))
+    )
+    feats = jax.device_put(feats, NamedSharding(mesh, P(axis, None, None)))
+    lengths = jax.device_put(lengths, NamedSharding(mesh, P(axis)))
+    fn = _jitted_tied_shard(
+        mesh, axis, k_block, group, interpret, jax.tree.structure(tied)
+    )
+    return fn(tied, transcripts, feats, lengths)
+
+
+@lru_cache(maxsize=32)
+def _jitted_tied_shard(mesh, axis, k_block, group, interpret, treedef):
+    from jax.sharding import PartitionSpec as P
+
+    tied_spec = jax.tree.unflatten(treedef, [P()] * treedef.num_leaves)
+
+    def shard_fn(tied, transcripts, feats, lengths):
+        st = tied_batch_stats_fused(
+            tied, transcripts, feats, lengths,
+            k_block=k_block, group=group, interpret=interpret,
+        )
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), st)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(tied_spec, P(axis, None), P(axis, None, None), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _tied_fused_default(tied: TiedHmmSet, D: int) -> bool:

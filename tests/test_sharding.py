@@ -142,3 +142,75 @@ def test_sharded_scan_trajectory_matches_per_step():
         np.testing.assert_allclose(
             np.asarray(lb), a, rtol=1e-3, atol=1e-3 * max(1.0, np.abs(a).max())
         )
+
+
+def test_fused_composed_sharded_matches_single_device():
+    """Data-parallel fused composed E-steps (embedded AND tied): explicit
+    shard_map + psum of the bank-gather kernels must match the unsharded
+    fused stats — the mixture-sharded multi-host EM all-reduce shape of
+    BASELINE config 5 (round 4)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.models.tying import tie_from_models
+    from srhmm_tpu.train.embedded import (
+        batch_stats_fused,
+        batch_stats_fused_sharded,
+    )
+    from srhmm_tpu.train.tied import (
+        tied_batch_stats_fused,
+        tied_batch_stats_fused_sharded,
+    )
+
+    rng = np.random.default_rng(0)
+    P, S, M, D, B, T, L = 4, 3, 2, 5, 8, 24, 3
+
+    def unit(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        var = r.uniform(0.5, 1.5, size=(S, M, D))
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"u{seed}",
+        )
+
+    models = stack_models([unit(i) for i in range(P)]).astype(jnp.float32)
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 3, T, 9, T, T - 1, T, T - 5], jnp.int32)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    ref = batch_stats_fused(models, transcripts, feats, lengths, k_block=8)
+    got = batch_stats_fused_sharded(
+        models, transcripts, feats, lengths, mesh, k_block=8
+    )
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        a = np.asarray(r)
+        np.testing.assert_allclose(
+            np.asarray(g), a, rtol=1e-4, atol=1e-4 * max(1.0, np.abs(a).max())
+        )
+
+    N = 6
+    sm = rng.integers(0, N, size=(P, S)).astype(np.int32)
+    sm[0] = [0, 1, 2]
+    tied = tie_from_models(models, sm).astype(jnp.float32)
+    tref = tied_batch_stats_fused(tied, transcripts, feats, lengths, k_block=8)
+    tgot = tied_batch_stats_fused_sharded(
+        tied, transcripts, feats, lengths, mesh, k_block=8
+    )
+    for r, g in zip(jax.tree.leaves(tref), jax.tree.leaves(tgot)):
+        a = np.asarray(r)
+        np.testing.assert_allclose(
+            np.asarray(g), a, rtol=1e-4, atol=1e-4 * max(1.0, np.abs(a).max())
+        )
