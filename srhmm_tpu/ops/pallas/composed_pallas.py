@@ -151,41 +151,54 @@ def _chunk_lse(q3, pcn, T, neg, tiny):
 
 
 def _bank_emit_kernel(
-    LS, Mps, Ds, full,
+    LS, LSp, Mps, Ds, full,
     ids_ref, *refs,
 ):
-    """Emission for G utterances: in-kernel bank assembly + chunked GEMMs,
-    one or more parameter STREAMS (the reference's product-of-streams
-    emission, T1:1437-1441 — per-stream logsumexps sum into one log_b).
-    refs: per-stream bank, bias2, feats(G, D_p, T); then out_ref
-    (G, LS, T); then per-stream scratches a_scr, b_scr."""
+    """Emission for a G-utterance block: in-kernel bank assembly + chunked
+    GEMMs, one or more parameter STREAMS (the reference's
+    product-of-streams emission, T1:1437-1441 — per-stream logsumexps sum
+    into one log_b) — and the LATTICE-LAYOUT TRANSPOSE fused into the
+    epilogue: per-utterance rows accumulate in a (G, LSp, T) VMEM scratch
+    and one 3D transpose writes the (T, LSp, G) block the forward/backward
+    kernels consume, so the XLA (B, LS, T) -> (T, LS, B) transpose (an
+    extra full HBM round-trip) no longer exists.  refs: per-stream bank,
+    bias2, feats(G, D_p, T); then out_ref (T, LSp, G); then lb_all scratch
+    (G, LSp, T) and per-stream scratches a_scr, b_scr."""
     P = len(Mps)
     bank_refs = refs[0:P]
     bias2_refs = refs[P : 2 * P]
     f_refs = refs[2 * P : 3 * P]
     out_ref = refs[3 * P]
-    a_scrs = refs[3 * P + 1 : 3 * P + 1 + P]
-    b_scrs = refs[3 * P + 1 + P :]
+    lb_all = refs[3 * P + 1]
+    a_scrs = refs[3 * P + 2 : 3 * P + 2 + P]
+    b_scrs = refs[3 * P + 2 + P :]
     G = f_refs[0].shape[0]
     T = f_refs[0].shape[2]
     b0 = pl.program_id(0) * jnp.int32(G)
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
-    for g in range(G):  # static unroll; VMEM temporaries are reused
+    if LSp > LS:  # padded lattice rows must read NEG_INF
+        lb_all[:, LS:LSp, :] = jnp.full((G, LSp - LS, T), neg, jnp.float32)
+
+    def per_g(g, _):
         lifts = [_emit_lift(f_refs[p][g], full) for p in range(P)]
         for c0, pcn in _pos_chunks(LS):
             lb = None
             for p in range(P):
                 _assemble_chunk(
                     ids_ref, bank_refs[p], bias2_refs[p], a_scrs[p],
-                    b_scrs[p], b0 + jnp.int32(g), c0, pcn, full,
+                    b_scrs[p], b0 + g, c0, pcn, full,
                 )
                 q3 = _chunk_q(
                     a_scrs[p], b_scrs[p], lifts[p], Mps[p], Ds[p], pcn, full
                 )
                 lb_p = _chunk_lse(q3, pcn, T, neg, tiny)
                 lb = lb_p if lb is None else lb + lb_p
-            out_ref[g, c0 : c0 + pcn, :] = jnp.maximum(lb, neg)
+            lb_all[g, c0 : c0 + pcn, :] = jnp.maximum(lb, neg)
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), per_g, jnp.int32(0))
+    out_ref[:] = jnp.transpose(lb_all[:], (2, 1, 0))
 
 
 def _norm_streams(bank, bias2, feats_bdt, n_mix_p):
@@ -201,18 +214,21 @@ def _norm_streams(bank, bias2, feats_bdt, n_mix_p):
     return banks, bias2s, featss, mps
 
 
-@partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
+@partial(jax.jit, static_argnames=("n_mix_p", "ls_pad", "full", "group", "interpret"))
 def bank_emission_pallas(
     ids: jax.Array,
     bank,
     bias2,
     feats_bdt,
     n_mix_p,
+    ls_pad: int | None = None,
     full: bool = False,
-    group: int = 8,
+    group: int = 128,
     interpret: bool | None = None,
 ):
-    """VMEM-resident-bank emission: log_b (B, LS, T).
+    """VMEM-resident-bank emission in LATTICE layout: log_b (T, LSp, B) —
+    ready for the forward/backward kernels, the transpose fused into the
+    kernel epilogue (rows past LS are NEG_INF filler).
 
     ids (B, LS) int32 flat position -> bank row (scalar-prefetched);
     bank: diag (NB, Mp, 2D+1) rows [mu*k | -k/2 | bias+logw], full
@@ -220,7 +236,8 @@ def bank_emission_pallas(
     bias2 (full only): (NB, Mp, 2) [bias, logw] — kept separate so the
     1e20 clamp lands between density and weight; feats_bdt (B, D, T).
     Mp = n_mix_p must be a multiple of 8 (pad mixtures with
-    bias = NEG_INF rows); B a multiple of `group`; T a multiple of 128.
+    bias = NEG_INF rows); B a multiple of `group` (128 so the fused
+    transpose feeds full lane tiles); T a multiple of 128.
 
     MULTI-STREAM (the reference's product-of-streams emission,
     T1:1437-1441): pass tuples for bank / bias2 / feats_bdt / n_mix_p —
@@ -232,6 +249,7 @@ def bank_emission_pallas(
     banks, bias2s, featss, mps = _norm_streams(bank, bias2, feats_bdt, n_mix_p)
     P = len(banks)
     B, LS = ids.shape
+    LSp = ls_pad if ls_pad is not None else -(-LS // 8) * 8
     T = featss[0].shape[2]
     ds = tuple(f.shape[1] for f in featss)
     rs = [(d * m if full else m) for d, m in zip(ds, mps)]
@@ -239,7 +257,7 @@ def bank_emission_pallas(
     for p in range(P):
         assert banks[p].shape[1:] == (rs[p], cs[p]), (p, banks[p].shape)
         assert mps[p] % 8 == 0
-    assert B % group == 0
+    assert B % group == 0 and LSp >= LS
     G = group
     fix3 = lambda b, ids: (0 * b,) * 3
     blk3 = lambda b, ids: (b, 0 * b, 0 * b)
@@ -254,16 +272,19 @@ def bank_emission_pallas(
                 for d in ds
             ]
         ),
-        out_specs=pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (T, LSp, G), lambda b, ids: (0 * b, 0 * b, b), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=(
-            [pltpu.VMEM((_POS_CHUNK * r, c), jnp.float32) for r, c in zip(rs, cs)]
+            [pltpu.VMEM((G, LSp, T), jnp.float32)]
+            + [pltpu.VMEM((_POS_CHUNK * r, c), jnp.float32) for r, c in zip(rs, cs)]
             + [pltpu.VMEM((_POS_CHUNK, m, 2), jnp.float32) for m in mps]
         ),
     )
     return pl.pallas_call(
-        partial(_bank_emit_kernel, LS, mps, ds, full),
+        partial(_bank_emit_kernel, LS, LSp, mps, ds, full),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, LS, T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, LSp, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -525,31 +546,30 @@ def _bank_mom_kernel(
     """Gamma-weighted mixture moments with in-kernel bank assembly AND
     in-kernel scatter into BANK-ROW space, one or more streams.
 
-    refs: per-stream bank, bias2, feats(G, D_p, T); then lb_ref / gam_ref
-    (G, LS, T) — the emission kernel's (summed) log_b and the backward
-    kernel's occupancies (already masked to valid frames); then
-    per-stream mom_ref (NB, Mp_p, Cm_p) accumulators, rows of
-    [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) | sum gm];
-    then per-stream scratches.  Bank-row granularity IS the statistics'
-    scatter target (unit-state rows for embedded, senones for tied), so
-    the accumulation happens here: TPU grid steps execute sequentially,
-    making the dynamic-index read-modify-writes race-free, and the
-    (B, LS, Mp, Cm) per-utterance moment tensor (63 MB at config 4: one
-    HBM write + one scatter-add read on the XLA side) never exists.  The
-    emission GEMMs are recomputed in VMEM — storing per-mixture
-    posteriors would cost a (B, T, LS, M) HBM round-trip (~1.2 GB at the
-    config-4 shape, a measured ~12x loss vs recompute, PERF.md).  Each
-    stream's posteriors normalize by its OWN recomputed mixture
-    logsumexp (the stored log_b is the cross-stream sum and only drives
-    the lattice)."""
+    refs: per-stream bank, bias2, feats(G, D_p, T); then gam_ref
+    (G, LS, T) — the backward kernel's occupancies (already masked to
+    valid frames); then per-stream mom_ref (NB, Mp_p, Cm_p) accumulators,
+    rows of [sum gm*x | sum gm*x^2 (diag) / sum gm*vec(x x^T) (full) |
+    sum gm]; then per-stream scratches.  Bank-row granularity IS the
+    statistics' scatter target (unit-state rows for embedded, senones for
+    tied), so the accumulation happens here: TPU grid steps execute
+    sequentially, making the dynamic-index read-modify-writes race-free,
+    and the (B, LS, Mp, Cm) per-utterance moment tensor (63 MB at config
+    4: one HBM write + one scatter-add read on the XLA side) never
+    exists.  The emission GEMMs AND each stream's mixture logsumexp are
+    recomputed in VMEM (the normalizer needs no stored log_b — round 4
+    dropped that input entirely, saving its HBM read): storing
+    per-mixture posteriors would cost a (B, T, LS, M) HBM round-trip
+    (~1.2 GB at the config-4 shape, a measured ~12x loss vs recompute,
+    PERF.md)."""
     P = len(Mps)
     bank_refs = refs[0:P]
     bias2_refs = refs[P : 2 * P]
     f_refs = refs[2 * P : 3 * P]
-    lb_ref, gam_ref = refs[3 * P : 3 * P + 2]
-    mom_refs = refs[3 * P + 2 : 4 * P + 2]
-    a_scrs = refs[4 * P + 2 : 5 * P + 2]
-    b_scrs = refs[5 * P + 2 :]
+    gam_ref = refs[3 * P]
+    mom_refs = refs[3 * P + 1 : 4 * P + 1]
+    a_scrs = refs[4 * P + 1 : 5 * P + 1]
+    b_scrs = refs[5 * P + 1 :]
     G = f_refs[0].shape[0]
     T = f_refs[0].shape[2]
     b0 = pl.program_id(0) * jnp.int32(G)
@@ -577,7 +597,6 @@ def _bank_mom_kernel(
             lift_moms = lifts  # (2D+1, T): same rhs, count from the ones row
         for c0, pcn in _pos_chunks(LS):
             b_idx = b0 + jnp.int32(g)
-            lb_sum1 = lb_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
             gm1 = gam_ref[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
             for p in range(P):
                 Mp, Cm = Mps[p], mom_refs[p].shape[-1]
@@ -588,12 +607,9 @@ def _bank_mom_kernel(
                 q3 = _chunk_q(
                     a_scrs[p], b_scrs[p], lifts[p], Mp, Ds[p], pcn, full
                 )
-                if P == 1:
-                    lb1 = lb_sum1  # single stream: stored log_b IS its lse
-                else:
-                    m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
-                    e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
-                    lb1 = jnp.log(jnp.maximum(e1, tiny)) + m1
+                m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
+                e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
+                lb1 = jnp.log(jnp.maximum(e1, tiny)) + m1
                 post = jnp.exp(jnp.minimum(q3 - lb1, zero))
                 post = jnp.where(lb1 > neg_half, post, zero)
                 gm2 = (post * gm1).reshape(pcn * Mp, T)
@@ -613,7 +629,6 @@ def bank_moments_pallas(
     bank,
     bias2,
     feats_bdt,
-    log_b_bst: jax.Array,
     gamma_bst: jax.Array,
     n_mix_p,
     full: bool = False,
@@ -623,8 +638,9 @@ def bank_moments_pallas(
     """BANK-ROW-space moment statistics (NB, Mp, Cm) — already
     scatter-accumulated over every utterance and position in-kernel,
     Cm = 2D+1 (diag) or D+D^2+1 (full).  Inputs as bank_emission_pallas
-    plus that kernel's log_b and the backward kernel's gamma, both
-    (B, LS, T).  MULTI-STREAM: pass tuples (bank_emission_pallas
+    plus the backward kernel's gamma (B, LS, T); each stream's posterior
+    normalizer (mixture logsumexp) is recomputed in VMEM, so no log_b
+    input exists.  MULTI-STREAM: pass tuples (bank_emission_pallas
     contract); returns a tuple of per-stream moment accumulators."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -641,7 +657,7 @@ def bank_moments_pallas(
     for p in range(P):
         assert banks[p].shape[1:] == (rs[p], cs[p]) and mps[p] % 8 == 0
     assert B % group == 0
-    assert log_b_bst.shape == (B, LS, T) and gamma_bst.shape == (B, LS, T)
+    assert gamma_bst.shape == (B, LS, T)
     G = group
     blk3 = lambda b, ids: (b, 0 * b, 0 * b)
     fix3 = lambda b, ids: (0 * b,) * 3
@@ -655,10 +671,7 @@ def bank_moments_pallas(
                 pl.BlockSpec((G, d, T), blk3, memory_space=pltpu.VMEM)
                 for d in ds
             ]
-            + [
-                pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM),
-            ]
+            + [pl.BlockSpec((G, LS, T), blk3, memory_space=pltpu.VMEM)]
         ),
         # constant index maps: the accumulators stay VMEM-resident across
         # the whole grid and are flushed to HBM once
@@ -687,7 +700,6 @@ def bank_moments_pallas(
         *[bk.astype(jnp.float32) for bk in banks],
         *[b2.astype(jnp.float32) for b2 in bias2s],
         *[f.astype(jnp.float32) for f in featss],
-        log_b_bst,
         gamma_bst,
     )
     return tuple(out) if multi else out[0]

@@ -273,13 +273,13 @@ def fused_positional_stats(
         pos_logt.astype(dtype), ((0, B_pad - B), (0, 0), (0, 0), (0, 0))
     )
 
-    # --- emissions (lane axis = time) --------------------------------------
+    # --- emissions (lane axis = time; lattice-layout transpose fused) -----
     feats_bdt = jnp.transpose(feats, (0, 2, 1))  # (B, D, T)
     feats_tup = (feats_bdt,) * P_s  # streams share the feature matrix
-    log_b_bst = bank_emission_pallas(
-        ids, banks, bias2s, feats_tup, n_mix_p=mps, full=cov_full,
-        group=group, interpret=interpret,
-    )  # (B, LS, T)
+    log_b_tsb = bank_emission_pallas(
+        ids, banks, bias2s, feats_tup, n_mix_p=mps, ls_pad=LS_pad,
+        full=cov_full, interpret=interpret,
+    )  # (T, LS_pad, B) — forward/backward-ready, no XLA transpose
 
     # --- per-lane composed banded transition diagonals ---------------------
     s_idx = jnp.arange(S)
@@ -316,11 +316,6 @@ def fused_positional_stats(
     )
 
     # --- lattices (lane axis = batch) --------------------------------------
-    log_b_tsb = jnp.pad(
-        jnp.transpose(log_b_bst, (2, 1, 0)),
-        ((0, 0), (0, LS_pad - LS), (0, 0)),
-        constant_values=NEG_INF,
-    )  # (T, LS_pad, B)
     la = composed_forward_pallas(
         log_b_tsb, diag_col, lengths, k_block=k_block, band=band,
         interpret=interpret,
@@ -338,7 +333,7 @@ def fused_positional_stats(
     # --- moments (lane axis = time; in-kernel bank-row scatter) -----------
     gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
     mom = bank_moments_pallas(
-        ids, banks, bias2s, feats_tup, log_b_bst, gamma_bst,
+        ids, banks, bias2s, feats_tup, gamma_bst,
         n_mix_p=mps, full=cov_full, group=group, interpret=interpret,
     )  # per-stream (NB, Mp, Cm) bank-row accumulators
     if not multi:
