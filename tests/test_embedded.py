@@ -290,3 +290,32 @@ def test_batch_stats_fused_multi_stream_matches_xla():
         np.testing.assert_allclose(
             b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max())
         )
+
+
+def test_batch_stats_fused_multi_stream_full_cov_matches_xla():
+    """Multi-stream AND full covariance together on the fused composed
+    kernels (per-stream Cholesky z-GEMM banks)."""
+    from srhmm_tpu.train.embedded import batch_stats, batch_stats_fused
+
+    P, S, D, B, T, L = 3, 2, 3, 2, 16, 2
+    rng = np.random.default_rng(21)
+
+    def unit2(seed):
+        u1 = _full_unit(seed, S=S, M=2, D=D)
+        u2 = _full_unit(seed + 70, S=S, M=1, D=D)
+        return u1.replace(streams=(u1.streams[0], u2.streams[0]))
+
+    models = stack_models([unit2(i) for i in range(P)])
+    transcripts = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)) * 2.0, jnp.float32)
+    lengths = jnp.asarray([T, T - 5], jnp.int32)
+
+    ref = batch_stats(models, transcripts, feats, lengths)
+    got = batch_stats_fused(models, transcripts, feats, lengths, k_block=8)
+    _stats_close(ref, got, rtol=5e-4)
+    for f in ["w", "x", "xx"]:
+        a = np.asarray(getattr(ref.streams[1], f))
+        b = np.asarray(getattr(got.streams[1], f))
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=5e-4 * max(1.0, np.abs(a).max())
+        )
