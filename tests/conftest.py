@@ -49,3 +49,20 @@ def perfil_dir(reference_root) -> Path:
 @pytest.fixture(scope="session")
 def models_dir(reference_root) -> Path:
     return reference_root / "test" / "test" / "models"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables and
+    eventually segfaults inside backend_compile (reproducible at the same
+    test in two clean runs; the same tests pass standalone and in any
+    small grouping).  Dropping caches at module boundaries keeps the
+    JIT-state footprint bounded; per-module recompiles are already the
+    norm since fixtures and shapes differ across modules."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
