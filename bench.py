@@ -375,8 +375,53 @@ def bench_reference(utts) -> float | None:
     return per_iter
 
 
+def session_calibration() -> dict:
+    """30-second probe of THIS session's effective chip speed — recorded
+    in every BENCH_r{N}.json so cross-round numbers can be read against
+    the hardware state.  Round 4 measured a session at ~49 GB/s HBM copy
+    and 6.9 TFLOP/s GEMM (~10x below the 450 GB/s / 70 TF/s roofline),
+    with XLA-generated code degraded 5-10x while Pallas kernels ran at
+    full speed (PERF.md): absolute numbers are meaningless without this
+    context."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16 * 1024 * 1024,)), jnp.float32
+    )  # 64 MB
+    copy = jax.jit(lambda x: (x + 1.0).ravel()[0])
+    float(copy(x))
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o = copy(x)
+    float(o)
+    gbps = 2 * 64 / 1024 / ((time.perf_counter() - t0) / n)
+    a = x[: 2048 * 2048].reshape(2048, 2048)
+    gemm = jax.jit(
+        lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32).ravel()[0]
+    )
+    float(gemm(a))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o = gemm(a)
+    float(o)
+    tflops = 2 * 2048**3 / ((time.perf_counter() - t0) / n) / 1e12
+    return {
+        "metric": "session_calibration",
+        "hbm_copy_gbps": round(gbps, 1),
+        "xla_gemm_tflops": round(tflops, 2),
+    }
+
+
 def main():
     utts = make_dataset()
+
+    try:
+        print(json.dumps(session_calibration()), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "session_calibration", "error": str(e)[:120]}), flush=True)
 
     # all five suite configs — each is independent; failures don't block
     # the headline metrics
