@@ -223,6 +223,37 @@ def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False):
     return (time.perf_counter() - t0) / n / (B * T * FRAME_SHIFT_S)
 
 
+def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5):
+    """Per-utterance RTF of the n_best=2 fused decode kernel (two token
+    planes, in-kernel top-2 merges, round 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.continuous import (
+        compose_word_loop_blocks,
+        token_passing_fused_k2,
+    )
+    from ..io.dataset import UtteranceBatch
+    from ..models import stack_models
+
+    vocab = stack_models(
+        [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
+    )
+    graph = compose_word_loop_blocks(vocab)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
+
+    def run():
+        f, b = token_passing_fused_k2(vocab, graph, batch, interpret=False)
+        return float(jnp.max(f[0]) + jnp.max(f[1]))  # forced fetch
+
+    run()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        run()
+    return (time.perf_counter() - t0) / n / (B * T * FRAME_SHIFT_S)
+
+
 def config3(rng):
     """Continuous strings: composed word-loop token-passing decode RTF at
     W=10 (BASELINE config) and W=200 — the XLA block engine (single
@@ -246,6 +277,9 @@ def config3(rng):
             )
             out["bigram_fused_rtf_w200"] = round(bg200, 6)
             out["bigram_fused_w200_audio_s_per_s"] = round(1.0 / bg200, 1)
+            k2 = _fused_k2_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
+            out["k2_fused_rtf_w200"] = round(k2, 6)
+            out["k2_fused_w200_audio_s_per_s"] = round(1.0 / k2, 1)
     except Exception as e:  # pragma: no cover
         out["fused_decode_error"] = str(e)[:120]
     return out

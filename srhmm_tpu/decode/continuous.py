@@ -616,6 +616,59 @@ def token_passing_fused(
     return final[:, :B], bps[:, :, :B]
 
 
+def token_passing_fused_k2(
+    vocab: GmmHmm,
+    graph: BlockGraph,
+    batch,
+    k_block: int = 4,
+    interpret: bool | None = None,
+):
+    """Batched n_best=2 word-loop Viterbi on the fused K=2 decode kernel
+    (ops/pallas/decode_pallas.py word_loop_decode_k2_pallas) — two token
+    planes per state, in-kernel top-2 merges, unigram-decomposable arcs
+    only.  Returns (final (2, W*S, B) scores, bps (T, 2, W*S, B) int32
+    flat src*2+k backpointers, trimmed to the original B)."""
+    from ..ops.pallas.decode_pallas import NEG_INF as DNEG
+    from ..ops.pallas.decode_pallas import word_loop_decode_k2_pallas
+    from ..ops.pallas.scoring_pallas import pack_vocab_constants
+
+    stream = vocab.streams[0]
+    if len(vocab.streams) != 1 or stream.cov_type != "diag":
+        raise ValueError("token_passing_fused_k2: single diagonal stream only")
+    arc = np.asarray(graph.arc, np.float64)
+    if not np.allclose(arc, arc[0:1]):
+        raise ValueError(
+            "token_passing_fused_k2: unigram-decomposable arcs only; "
+            "use token_passing_blocks"
+        )
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    N = W * S
+    feats = batch.features
+    lengths = batch.lengths
+    B, T, D = feats.shape
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    if pad_b or pad_t:
+        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+
+    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    entry_rows = np.arange(W) * S
+    arc_col = np.full((N, 1), DNEG)
+    arc_col[entry_rows, 0] = arc[0]
+    entry_col = np.full((N, 1), DNEG)
+    entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+
+    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
+    final, bps = word_loop_decode_k2_pallas(
+        feats_tdb, a, bias, diag,
+        jnp.asarray(arc_col, jnp.float32),
+        jnp.asarray(entry_col, jnp.float32),
+        lengths, s_word=S, band=band, k_block=k_block, interpret=interpret,
+    )
+    return final[:, :, :B], bps[:, :, :, :B]
+
+
 def decode_continuous_batch(
     vocab: GmmHmm,
     batch,

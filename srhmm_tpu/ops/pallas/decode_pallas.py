@@ -29,11 +29,17 @@ Cross-word arcs come in two forms:
   vocabularies (W^2 * B temporaries past the VMEM budget) stay on the
   XLA engine.
 
-K-best is n_best=1 in-kernel (the production decode); K>1 stays on the
-XLA engine.  Tie-breaks may differ from the XLA engine (it prefers the
-lowest source state, this kernel the shortest jump) — both are optimal
-paths; equality tests use continuous random emissions where ties have
-measure zero.
+K-best: n_best=1 is the production kernel; round 4 adds an n_best=2
+kernel (`word_loop_decode_k2_pallas`) for unigram-decomposable arcs —
+the token carry doubles to (2, N, B), every frame runs an elementwise
+top-2 merge over the 2*(band+1) within-word candidate planes plus 2
+cross-word planes (the unigram top-2 of all W*K exit tokens is
+destination-independent: two global reductions per frame), and
+backpointers encode the XLA engine's flat (w*S+i)*K + k convention.
+K>2 stays on the XLA engine.  Tie-breaks may differ from the XLA engine
+(it prefers the lowest source state, these kernels the shortest jump) —
+both are optimal paths; equality tests use continuous random emissions
+where ties have measure zero.
 """
 
 from __future__ import annotations
@@ -236,6 +242,251 @@ def word_loop_decode_pallas(
         scratch_shapes=[pltpu.VMEM((N, B), jnp.float32)],
         # v5e VMEM is 128 MB; the default 16 MB scoped limit OOMs at
         # W=200 with k_block > 1 (composed_pallas.py sets the same)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        lens,
+    )
+    return final, bp
+
+
+# ---------------------------------------------------------------------------
+# n_best = 2 (module docstring): (2, N, B) token carry, elementwise top-2
+# merges, bp in the XLA engine's flat (w*S+i)*K + k encoding
+# ---------------------------------------------------------------------------
+
+
+def _top2_fold(state, v, i):
+    """Elementwise top-2 accumulator: state = (v1, i1, v2, i2) best/second
+    values + plane ids; fold in candidate (v, i).  Strict > keeps the
+    first-seen plane on ties (deterministic)."""
+    v1, i1, v2, i2 = state
+    better1 = v > v1
+    nv1 = jnp.where(better1, v, v1)
+    ni1 = jnp.where(better1, i, i1)
+    dem_v = jnp.where(better1, v1, v)  # loser of the best comparison
+    dem_i = jnp.where(better1, i1, i)
+    better2 = dem_v > v2
+    nv2 = jnp.where(better2, dem_v, v2)
+    ni2 = jnp.where(better2, dem_i, i2)
+    return nv1, ni1, nv2, ni2
+
+
+def _decode_k2_kernel(
+    n_mix, k_block, band, s_word,
+    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, len_ref,
+    bp_ref, final_ref,
+    la_ref,
+):
+    """n_best=2 word-loop Viterbi.  Shapes as _decode_kernel except:
+    outputs bp (k_block, 2, N, B) int32 flat src*2+k backpointers and
+    final (2, N, B); scratch la (2, N, B) two-plane token carry."""
+    tb = pl.program_id(0)
+    _, N, B = la_ref.shape
+    lens = len_ref[:]
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    row_in_word = row % jnp.int32(s_word)
+    is_exit = row_in_word == jnp.int32(s_word - 1)
+    n_within = 2 * (band + 1)
+
+    for k in range(k_block):
+        x = feats_ref[k]
+        lift = jnp.concatenate([x, x * x], axis=0)
+        m_s = None
+        e = None
+        for m in range(n_mix):
+            q = (
+                jnp.dot(
+                    a_ref[m], lift,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + bias_ref[m]
+            )
+            if m == 0:
+                m_s = jnp.maximum(q, neg)
+                e = jnp.exp(q - m_s)
+            else:
+                new_m = jnp.maximum(m_s, q)
+                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
+                m_s = new_m
+        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+
+        def first():
+            b0 = jnp.maximum(entry_ref[:] + log_b, neg)
+            b1 = jnp.full((N, B), neg)
+            return b0, b1, row * jnp.int32(2), row * jnp.int32(2) + jnp.int32(1)
+
+        def rest():
+            c = [la_ref[0], la_ref[1]]
+            # ---- within-word candidate planes p = d*2 + kk ----
+            state = None
+            for d in range(band + 1):
+                for kk in range(2):
+                    if d == 0:
+                        sh = c[kk]
+                    else:
+                        sh = pltpu.roll(c[kk], shift=jnp.int32(d), axis=0)
+                        sh = jnp.where(row_in_word >= d, sh, neg)
+                    v = sh + diag_ref[d]
+                    i = jnp.full((N, B), d * 2 + kk, jnp.int32)
+                    if state is None:
+                        state = (v, i, jnp.full((N, B), neg), i)
+                    else:
+                        state = _top2_fold(state, v, i)
+            # ---- cross-word: top-2 of the union of both exit planes ----
+            e0 = jnp.where(is_exit, c[0], neg)
+            e1 = jnp.where(is_exit, c[1], neg)
+            rm0 = jnp.max(e0, axis=0, keepdims=True)  # (1, B)
+            rm1 = jnp.max(e1, axis=0, keepdims=True)
+            am0 = jnp.min(
+                jnp.where(e0 == rm0, row, jnp.int32(N)), axis=0, keepdims=True
+            )
+            am1 = jnp.min(
+                jnp.where(e1 == rm1, row, jnp.int32(N)), axis=0, keepdims=True
+            )
+            # second-best within each plane (excluding its own argmax row)
+            s0 = jnp.max(jnp.where(row == am0, neg, e0), axis=0, keepdims=True)
+            s1 = jnp.max(jnp.where(row == am1, neg, e1), axis=0, keepdims=True)
+            as0 = jnp.min(
+                jnp.where(jnp.where(row == am0, neg, e0) == s0, row, jnp.int32(N)),
+                axis=0, keepdims=True,
+            )
+            as1 = jnp.min(
+                jnp.where(jnp.where(row == am1, neg, e1) == s1, row, jnp.int32(N)),
+                axis=0, keepdims=True,
+            )
+            take0 = rm0 >= rm1  # union best comes from plane 0
+            x1v = jnp.where(take0, rm0, rm1)
+            x1bp = jnp.where(
+                take0, am0 * jnp.int32(2), am1 * jnp.int32(2) + jnp.int32(1)
+            )
+            # union second: loser of the best comparison vs the winner's own
+            # second
+            cand_a_v = jnp.where(take0, rm1, rm0)
+            cand_a_bp = jnp.where(
+                take0, am1 * jnp.int32(2) + jnp.int32(1), am0 * jnp.int32(2)
+            )
+            cand_b_v = jnp.where(take0, s0, s1)
+            cand_b_bp = jnp.where(
+                take0, as0 * jnp.int32(2), as1 * jnp.int32(2) + jnp.int32(1)
+            )
+            use_a = cand_a_v >= cand_b_v
+            x2v = jnp.where(use_a, cand_a_v, cand_b_v)
+            x2bp = jnp.where(use_a, cand_a_bp, cand_b_bp)
+            # fold the two cross planes in (entry rows only)
+            arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
+            cx1 = jnp.where(arc > neg, x1v + arc, neg)
+            cx2 = jnp.where(arc > neg, x2v + arc, neg)
+            state = _top2_fold(
+                state, cx1, jnp.full((N, B), n_within, jnp.int32)
+            )
+            state = _top2_fold(
+                state, cx2, jnp.full((N, B), n_within + 1, jnp.int32)
+            )
+            v1, i1, v2, i2 = state
+
+            # ---- reconstruct flat src*2+k backpointers from plane ids ----
+            def bp_of(pid):
+                bp = jnp.zeros((N, B), jnp.int32)
+                for d in range(band + 1):
+                    for kk in range(2):
+                        p = d * 2 + kk
+                        bp = jnp.where(
+                            pid == p,
+                            (row - jnp.int32(d)) * jnp.int32(2) + jnp.int32(kk),
+                            bp,
+                        )
+                bp = jnp.where(
+                    pid == n_within, jnp.broadcast_to(x1bp, (N, B)), bp
+                )
+                bp = jnp.where(
+                    pid == n_within + 1, jnp.broadcast_to(x2bp, (N, B)), bp
+                )
+                return bp
+
+            return (
+                jnp.maximum(v1 + log_b, neg),
+                jnp.maximum(v2 + log_b, neg),
+                bp_of(i1),
+                bp_of(i2),
+            )
+
+        if k == 0:
+            b0, b1, bp0, bp1 = jax.lax.cond(tb == 0, first, rest)
+        else:
+            b0, b1, bp0, bp1 = rest()
+        t = tb * k_block + k
+        keep = lens > jnp.float32(1.0) * t
+        if k == 0:
+            keep = keep | (tb == 0)
+        la_ref[0] = jnp.where(keep, b0, la_ref[0])
+        la_ref[1] = jnp.where(keep, b1, la_ref[1])
+        bp_ref[k, 0] = jnp.where(keep, bp0, row * jnp.int32(2))
+        bp_ref[k, 1] = jnp.where(keep, bp1, row * jnp.int32(2) + jnp.int32(1))
+
+    final_ref[:] = la_ref[:]
+
+
+@partial(jax.jit, static_argnames=("s_word", "band", "k_block", "interpret"))
+def word_loop_decode_k2_pallas(
+    feats_tdb: jax.Array,
+    a: jax.Array,
+    bias: jax.Array,
+    diag: jax.Array,
+    arc_col: jax.Array,
+    entry_col: jax.Array,
+    lengths: jax.Array,
+    s_word: int,
+    band: int,
+    k_block: int = 4,
+    interpret: bool | None = None,
+):
+    """n_best=2 variant of word_loop_decode_pallas (unigram arc_col only):
+    returns (final (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, D, B = feats_tdb.shape
+    M, N, twoD = a.shape
+    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    assert arc_col.shape == (N, 1), "k2 kernel: unigram arcs only"
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    nt = T // k_block
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    bp, final = pl.pallas_call(
+        partial(_decode_k2_kernel, M, k_block, band, s_word),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
+                memory_space=pltpu.VMEM,
+            ),
+            tvm((M, N, twoD)),
+            tvm((M, N, 1)),
+            tvm((band + 1, N, 1)),
+            tvm((N, 1)),
+            tvm((N, 1)),
+            tvm((1, B)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_block, 2, N, B), lambda t: (t, 0 * t, 0 * t, 0 * t),
+                memory_space=pltpu.VMEM,
+            ),
+            tvm((2, N, B)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, N, B), jnp.int32),
+            jax.ShapeDtypeStruct((2, N, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, N, B), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

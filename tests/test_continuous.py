@@ -447,3 +447,55 @@ def test_fused_decode_bigram_matches_block_engine():
         finite = np.isfinite(fx)
         assert np.isfinite(got[finite]).all()
         np.testing.assert_allclose(got[finite], fx[finite], rtol=2e-5, atol=1e-3)
+
+
+def test_fused_decode_k2_matches_block_engine():
+    """n_best=2 on the fused K=2 decode kernel (round 4): both token
+    planes' final scores must reproduce token_passing_blocks(n_best=2) —
+    the in-kernel top-2 merges see the same candidate sets."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        token_passing_blocks,
+        token_passing_fused_k2,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(5)
+    W, S, D = 5, 4, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    graph = compose_word_loop_blocks(vocab)
+    final_f, bps_f = token_passing_fused_k2(
+        vocab, graph, batch, k_block=4, interpret=True
+    )
+    fin = np.asarray(final_f)  # (2, W*S, B)
+
+    for b, u in enumerate(utts):
+        frames = jnp.asarray(u, jnp.float32)
+        log_b = composed_emissions(vocab, frames)
+        final_x, _ = token_passing_blocks(graph, log_b, n_best=2)
+        fx = np.asarray(final_x)  # (W*S, 2)
+        for k in range(2):
+            ref = fx[:, k]
+            got = fin[k, :, b]
+            finite = np.isfinite(ref)
+            assert (np.isfinite(got) == finite).all(), (b, k)
+            np.testing.assert_allclose(
+                got[finite], ref[finite], rtol=2e-5, atol=1e-3
+            )
