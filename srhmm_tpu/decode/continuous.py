@@ -678,6 +678,7 @@ def decode_continuous_batch(
     word_insertion_penalty: float = 0.0,
     lm_initial: np.ndarray | None = None,
     k_block: int = 4,
+    n_best: int = 1,
     interpret: bool | None = None,
 ):
     """Batched end-to-end continuous decode: ALL utterances of a padded
@@ -685,9 +686,23 @@ def decode_continuous_batch(
     and, since round 4, bigram LMs) plus one batched device backtrace.
     Falls back to the per-utterance XLA block engine when the fused
     kernel is ineligible (non-diag streams, bigram with s_word % 8 != 0,
-    or W^2 past the VMEM budget).  Returns a list over utterances of
-    (score, word_ids, word_spans) — the best hypothesis per utterance
-    (n_best=1; use decode_continuous for K-best)."""
+    or W^2 past the VMEM budget).
+
+    n_best=1 (default) returns a list over utterances of
+    (score, word_ids, word_spans); n_best=2 rides the fused K=2 kernel
+    (token_passing_fused_k2; unigram arcs) and returns a list over
+    utterances of UP TO 2 such tuples, best first (use decode_continuous
+    for K > 2)."""
+    if n_best == 2:
+        return _decode_batch_k2(
+            vocab, batch, lm_logprobs, exit_logprob, lm_scale,
+            word_insertion_penalty, lm_initial, k_block, interpret,
+        )
+    if n_best != 1:
+        raise ValueError(
+            "decode_continuous_batch: n_best in (1, 2); use "
+            "decode_continuous for K > 2"
+        )
     graph = compose_word_loop_blocks(
         vocab,
         lm_logprobs=lm_logprobs,
@@ -737,4 +752,76 @@ def decode_continuous_batch(
             continue
         words, spans = _words_from_path(paths[:L, b], S)
         out.append((float(fin[best_states[b], b]), words, spans))
+    return out
+
+
+def _decode_batch_k2(
+    vocab, batch, lm_logprobs, exit_logprob, lm_scale,
+    word_insertion_penalty, lm_initial, k_block, interpret,
+):
+    """n_best=2 batched decode on the fused K=2 kernel: the flat n*2+k
+    token-id space makes backtrace_batch_device directly reusable —
+    transpose the (T, 2, N, B) backpointers to (T, N, 2, B) and flatten,
+    so pointer entries and row indices share the id = n*2+k encoding."""
+    graph = compose_word_loop_blocks(
+        vocab,
+        lm_logprobs=lm_logprobs,
+        exit_logprob=exit_logprob,
+        lm_scale=lm_scale,
+        word_insertion_penalty=word_insertion_penalty,
+        lm_initial=lm_initial,
+    )
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    N = W * S
+    final, bps = token_passing_fused_k2(
+        vocab, graph, batch, k_block=k_block, interpret=interpret
+    )  # (2, N, B), (T, 2, N, B)
+    T = bps.shape[0]
+    B = final.shape[-1]
+    # flat id space: id = n*2 + k
+    scores_flat = jnp.transpose(final, (1, 0, 2)).reshape(2 * N, B)
+    bp_flat = jnp.transpose(bps, (0, 2, 1, 3)).reshape(T, 2 * N, B)
+    row = jnp.arange(2 * N)[:, None]
+    is_exit = ((row // 2) % S) == (S - 1)
+    masked = jnp.where(is_exit, scores_flat, -jnp.inf)
+    # the engine dedupes hypotheses by WORD SEQUENCE, so the two returned
+    # hypotheses may come from deeper than the top-2 exit tokens: rank the
+    # top-R candidates, backtrace them all in one batched scan, dedupe on
+    # the host (R = all 2W exit tokens, matching decode_continuous exactly)
+    R = 2 * W
+    ranked = jnp.argsort(-masked, axis=0)[:R]  # (R, B) candidate ids
+
+    def _bt_step(s, bp_t):  # s: (R, B); bp_t: (2N, B)
+        nxt = jnp.take_along_axis(bp_t, s, axis=0)
+        return nxt, s
+
+    s0, rest = jax.lax.scan(
+        _bt_step, ranked.astype(jnp.int32), bp_flat[1:], reverse=True
+    )
+    paths = np.asarray(
+        jnp.concatenate([s0[None], rest], axis=0)
+    )  # (T, R, B) token-id paths
+    sc = np.asarray(scores_flat)
+    ranked_np = np.asarray(ranked)
+    lengths = np.asarray(batch.lengths)
+    out = []
+    for b in range(batch.features.shape[0]):
+        L = int(lengths[b])
+        hyps = []
+        seen = set()
+        if L > 0:
+            for r in range(R):
+                cid = int(ranked_np[r, b])
+                score = float(sc[cid, b])
+                if not np.isfinite(score):
+                    break
+                states = paths[:L, r, b] // 2  # token id -> composed state
+                words, spans = _words_from_path(states, S)
+                key = tuple(words)
+                if key not in seen:
+                    seen.add(key)
+                    hyps.append((score, words, spans))
+                if len(hyps) >= 2:
+                    break
+        out.append(hyps)
     return out

@@ -499,3 +499,42 @@ def test_fused_decode_k2_matches_block_engine():
             np.testing.assert_allclose(
                 got[finite], ref[finite], rtol=2e-5, atol=1e-3
             )
+
+
+def test_decode_continuous_batch_k2_matches_single():
+    """decode_continuous_batch(n_best=2) (fused K=2 kernel + flat-id
+    batched backtrace) must reproduce decode_continuous's top-2
+    hypotheses per utterance."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        decode_continuous,
+        decode_continuous_batch,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(9)
+    W, S, D = 4, 4, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=2):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    results = decode_continuous_batch(vocab, batch, n_best=2, interpret=True)
+    for b, u in enumerate(utts):
+        ref = decode_continuous(vocab, jnp.asarray(u, jnp.float32), n_best=2)
+        hyps = results[b]
+        assert len(hyps) >= 1
+        for r, (score, words, spans) in enumerate(hyps[: len(ref)]):
+            np.testing.assert_allclose(score, ref[r][0], rtol=2e-5, atol=1e-3)
+            assert words == ref[r][1], (b, r, words, ref[r][1])
