@@ -209,9 +209,12 @@ def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False):
     batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
 
     def run():
-        f, b = token_passing_fused(vocab, graph, batch, interpret=False)
+        f, b, s_eff = token_passing_fused(vocab, graph, batch, interpret=False)
         states = jnp.argmax(
-            jnp.where(jnp.arange(W * S)[:, None] % S == S - 1, f, -1e30), axis=0
+            jnp.where(
+                jnp.arange(W * s_eff)[:, None] % s_eff == S - 1, f, -1e30
+            ),
+            axis=0,
         )
         paths = backtrace_batch_device(b, states)
         return float(paths[0, 0] + paths[-1, -1])  # forced fetch

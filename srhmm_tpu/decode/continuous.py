@@ -311,7 +311,9 @@ def token_passing_blocks(
     neg = jnp.asarray(-jnp.inf, log_b.dtype)
 
     init = jnp.full((W, S, K), neg, log_b.dtype)
-    init = init.at[:, 0, 0].set(graph.log_entry + lb[0, :, 0])
+    init = init.at[:, 0, 0].set(
+        (graph.log_entry + lb[0, :, 0]).astype(log_b.dtype)
+    )
     # non-entry states unreachable at t=0 (dense path: log_entry is -inf
     # off-entry); keep K>0 slots -inf
     flat_ids = (
@@ -437,14 +439,21 @@ def backtrace_words(
     return float(score), words, spans
 
 
-def _words_from_path(path: np.ndarray, S: int) -> tuple[list[int], list[tuple[int, int]]]:
+def _words_from_path(
+    path: np.ndarray, S: int, exit_off: int | None = None
+) -> tuple[list[int], list[tuple[int, int]]]:
     """Vectorized word-boundary extraction from a composed-state path: a
-    boundary is exactly an exit(S-1) -> entry(0) arc crossing (the rule of
-    backtrace_words, without the host loop)."""
+    boundary is exactly an exit -> entry(0) arc crossing (the rule of
+    backtrace_words, without the host loop).  exit_off: exit state index
+    within each word (default S - 1; smaller when the word stride S
+    includes unreachable filler states, token_passing_fused's padded
+    bigram case)."""
+    if exit_off is None:
+        exit_off = S - 1
     p = np.asarray(path)
     crossed = np.zeros(len(p), dtype=bool)
     if len(p) > 1:
-        crossed[1:] = (p[1:] % S == 0) & (p[:-1] % S == S - 1) & (p[1:] != p[:-1])
+        crossed[1:] = (p[1:] % S == 0) & (p[:-1] % S == exit_off) & (p[1:] != p[:-1])
     starts = np.flatnonzero(np.concatenate([[True], crossed[1:]]))
     ends = np.append(starts[1:], len(p))
     words = (p[starts] // S).astype(int).tolist()
@@ -545,6 +554,57 @@ def backtrace_batch_device(bps: jax.Array, states: jax.Array) -> jax.Array:
     return jnp.concatenate([s0[None], rest], axis=0)  # (T, B)
 
 
+def _pad_vocab_states(vocab: GmmHmm, s_pad: int) -> GmmHmm:
+    """Pad every word of a stacked vocabulary to s_pad states.  Filler
+    states are unreachable (no arcs from real states; self-loop 1.0 keeps
+    rows stochastic) with benign unit-weight mixture-0 emissions — the
+    pad_stack_models filler recipe applied uniformly to an
+    already-stacked model.  Used by token_passing_fused to make bigram
+    vocabularies s_word % 8 == 0 for the fused kernel's layout-free
+    (W, S, B) splits; the exit_col operand keeps the REAL exit row
+    (S-1) live."""
+    from ..models import GmmStream
+
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    assert s_pad >= S
+    dtype = np.asarray(vocab.trans).dtype
+    trans = np.zeros((W, s_pad, s_pad), dtype)
+    trans[:, :S, :S] = np.asarray(vocab.trans)
+    for s in range(S, s_pad):
+        trans[:, s, s] = 1.0
+    new_streams = []
+    for st in vocab.streams:
+        M, D = st.num_mixtures, st.dim
+        w = np.zeros((W, s_pad, M), dtype)
+        w[:, :S] = np.asarray(st.weights)
+        w[:, S:, 0] = 1.0
+        mu = np.zeros((W, s_pad, M, D), dtype)
+        mu[:, :S] = np.asarray(st.means)
+        det = np.ones((W, s_pad, M), dtype)
+        det[:, :S] = np.asarray(st.det)
+        ld = np.zeros((W, s_pad, M), dtype)
+        ld[:, :S] = np.asarray(st.log_abs_det())
+        if st.cov_type == "full":
+            ic = np.tile(np.eye(D, dtype=dtype), (W, s_pad, M, 1, 1))
+            ic[:, :S] = np.asarray(st.inv_cov)
+        else:
+            ic = np.ones((W, s_pad, M, D), dtype)
+            ic[:, :S] = np.asarray(st.inv_cov)
+        new_streams.append(
+            GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(mu),
+                inv_cov=jnp.asarray(ic),
+                det=jnp.asarray(det),
+                cov_type=st.cov_type,
+                log_det=jnp.asarray(ld),
+            )
+        )
+    return GmmHmm(
+        trans=jnp.asarray(trans), streams=tuple(new_streams), word=vocab.word
+    )
+
+
 def token_passing_fused(
     vocab: GmmHmm,
     graph: BlockGraph,
@@ -560,11 +620,16 @@ def token_passing_fused(
     batch: UtteranceBatch (B, T, D).  Requires a single diagonal stream;
     n_best=1.  Unigram-decomposable cross arcs (graph.arc rows identical —
     uniform/unigram LMs) use the O(W*S) reduction; genuine BIGRAM arcs run
-    the in-kernel (W, W) (max, +) contraction (round 4) when s_word is a
-    multiple of 8 and the W^2 working set fits VMEM (W <= ~256 at B=128) —
-    otherwise raise, callers keep the XLA engine.  Returns (final
-    (W*S, B) scores, bps (T, W*S, B) int32, both trimmed to the original
-    B)."""
+    the in-kernel (W, W) (max, +) contraction (round 4).  Bigram
+    vocabularies whose state count is not a multiple of 8 are
+    AUTO-PADDED with unreachable filler states (round 4: the kernel's
+    exit_col operand keeps the real exit row live), so outputs come back
+    in s_eff = padded state space.  Only a bigram W^2 working set past
+    the VMEM budget (W <= ~256 at B=128) still raises — callers keep the
+    XLA engine.  Returns (final (W*s_eff, B) scores, bps
+    (T, W*s_eff, B) int32, both trimmed to the original B, s_eff) —
+    s_eff == S except for the padded-bigram case; row r encodes
+    word r // s_eff, state r % s_eff."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
@@ -574,19 +639,18 @@ def token_passing_fused(
         raise ValueError("token_passing_fused: single diagonal stream only")
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    N = W * S
     unigram = bool(np.allclose(arc, arc[0:1]))
+    s_eff = S
     if not unigram:
-        if S % 8 != 0:
-            raise ValueError(
-                "token_passing_fused: bigram arcs need s_word % 8 == 0 "
-                "(pad states) — use token_passing_blocks"
-            )
         if W * W * 128 * 4 * 2 > 48 * 1024 * 1024:
             raise ValueError(
                 "token_passing_fused: bigram W^2 working set exceeds the "
                 "VMEM budget — use token_passing_blocks"
             )
+        if S % 8 != 0:
+            s_eff = -(-S // 8) * 8
+            vocab = _pad_vocab_states(vocab, s_eff)
+    N = W * s_eff
     feats = batch.features
     lengths = batch.lengths
     B, T, D = feats.shape
@@ -597,7 +661,7 @@ def token_passing_fused(
         lengths = jnp.pad(lengths, (0, pad_b))
 
     a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    entry_rows = np.arange(W) * S
+    entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
         arc_col[entry_rows, 0] = arc[0]
@@ -605,15 +669,21 @@ def token_passing_fused(
         arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    exit_col = None
+    if s_eff != S:
+        ec = np.full((N, 1), DNEG)
+        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        exit_col = jnp.asarray(ec, jnp.float32)
 
     feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     final, bps = word_loop_decode_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
-        lengths, s_word=S, band=band, k_block=k_block, interpret=interpret,
+        lengths, s_word=s_eff, band=band, k_block=k_block,
+        exit_col=exit_col, interpret=interpret,
     )
-    return final[:, :B], bps[:, :, :B]
+    return final[:, :B], bps[:, :, :B], s_eff
 
 
 def token_passing_fused_k2(
@@ -713,7 +783,7 @@ def decode_continuous_batch(
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     try:
-        final, bps = token_passing_fused(
+        final, bps, s_eff = token_passing_fused(
             vocab, graph, batch, k_block=k_block, interpret=interpret
         )
     except ValueError:
@@ -737,8 +807,8 @@ def decode_continuous_batch(
             )[0]
             out.append(hyp)
         return out
-    fin = np.asarray(final)  # (W*S, B)
-    exit_rows = np.arange(W) * S + (S - 1)
+    fin = np.asarray(final)  # (W*s_eff, B)
+    exit_rows = np.arange(W) * s_eff + (S - 1)
     best_states = exit_rows[np.argmax(fin[exit_rows], axis=0)]  # (B,)
     paths = np.asarray(
         backtrace_batch_device(bps, jnp.asarray(best_states, jnp.int32))
@@ -750,7 +820,7 @@ def decode_continuous_batch(
         if L <= 0:
             out.append((float("-inf"), [], []))
             continue
-        words, spans = _words_from_path(paths[:L, b], S)
+        words, spans = _words_from_path(paths[:L, b], s_eff, exit_off=S - 1)
         out.append((float(fin[best_states[b], b]), words, spans))
     return out
 

@@ -24,8 +24,10 @@ Cross-word arcs come in two forms:
   for the argmax backpointers).  (max, +) does not map to the MXU, but
   at W=200 the 2 * W^2 * B VPU elements/frame are a minor add-on to the
   per-frame W*S*M emission GEMM.  Requires s_word % 8 == 0 (the exit-row
-  extraction and entry-row scatter are layout-free (W, S, B) reshapes);
-  pad vocabularies to an 8-multiple state count otherwise.  Very large
+  extraction and entry-row scatter are layout-free (W, S, B) reshapes) —
+  decode/continuous.token_passing_fused AUTO-PADS other state counts
+  with unreachable filler states, keeping the real exit row live via
+  the exit_col/exitrow operands (per-word exit positions).  Very large
   vocabularies (W^2 * B temporaries past the VMEM budget) stay on the
   XLA engine.
 
@@ -57,17 +59,23 @@ _TINY = 1e-38
 
 def _decode_kernel(
     n_mix, k_block, band, s_word, bigram,
-    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, len_ref,
-    bp_ref, final_ref,
-    la_ref,
+    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    *rest_refs,
 ):
     """Grid: ascending time blocks.  Block shapes: feats (k_block, D, B);
     a (M, N, 2D); bias (M, N, 1); diag (band+1, N, 1); arc: (N, 1)
     per-destination cross-arc weight at entry rows (unigram) or (W, W)
     full bigram arc matrix; entry (N, 1) initial score at entry rows,
-    NEG_INF elsewhere; len (1, B).  Outputs: bp (k_block, N, B) int32
-    source-row backpointers; final (N, B) last-frame scores.  Scratch:
-    la (N, B) token carry."""
+    NEG_INF elsewhere; exit (N, 1) additive exit mask (0.0 at each word's
+    EXIT row, NEG_INF elsewhere — per-word exit positions, so padded
+    state counts decode correctly); bigram only: exitrow (W, 1) int32
+    global row index of each word's exit; len (1, B).  Outputs: bp
+    (k_block, N, B) int32 source-row backpointers; final (N, B)
+    last-frame scores.  Scratch: la (N, B) token carry."""
+    if bigram:
+        exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
+    else:
+        len_ref, bp_ref, final_ref, la_ref = rest_refs
     tb = pl.program_id(0)
     N = la_ref.shape[0]
     B = la_ref.shape[1]
@@ -77,7 +85,7 @@ def _decode_kernel(
     tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
-    is_exit = row_in_word == jnp.int32(s_word - 1)
+    is_exit = exit_ref[:] > jnp.float32(-1.0)  # (N, 1) bool, broadcasts
     is_entry = row_in_word == jnp.int32(0)
 
     for k in range(k_block):
@@ -123,17 +131,24 @@ def _decode_kernel(
                 bp = jnp.where(take, row - jnp.int32(d), bp)
             if bigram:
                 # full (W, W) cross-arc (max, +) contraction (module
-                # docstring): exit scores via the layout-free (W, S, B)
-                # split (s_word % 8 == 0), then a (W_src, W_dst, B)
-                # broadcast-max plus an equality pass for the argmax
-                exit_w = carry.reshape(W, s_word, B)[:, s_word - 1, :]
+                # docstring): per-word exit scores via the exit mask + a
+                # (W, S, B) max-reduce (the layout-free split needs
+                # s_word % 8 == 0, which the wrapper guarantees by state
+                # padding), then a (W_src, W_dst, B) broadcast-max plus an
+                # equality pass for the argmax — carried as the exit ROW
+                # itself (exitrow operand) so per-word exit positions need
+                # no index arithmetic
+                ex3 = (carry + exit_ref[:]).reshape(W, s_word, B)
+                exit_w = jnp.max(ex3, axis=1)  # (W_src, B)
                 cand = exit_w[:, None, :] + arc_ref[:][:, :, None]
                 cr_w = jnp.max(cand, axis=0)  # (W_dst, B)
-                src_r = jax.lax.broadcasted_iota(jnp.int32, (W, W, B), 0)
-                am_w = jnp.min(
-                    jnp.where(cand == cr_w[None], src_r, jnp.int32(N)),
+                rows3 = jnp.broadcast_to(
+                    exitrow_ref[:][:, :, None], (W, W, B)
+                )
+                am_row = jnp.min(
+                    jnp.where(cand == cr_w[None], rows3, jnp.int32(N)),
                     axis=0,
-                )  # (W_dst, B) source-WORD index of the best exit
+                )  # (W_dst, B) exit ROW of the best source word
                 cross = jnp.where(
                     is_entry,
                     jnp.broadcast_to(
@@ -142,10 +157,7 @@ def _decode_kernel(
                     neg,
                 )
                 bp_x = jnp.broadcast_to(
-                    (am_w * jnp.int32(s_word) + jnp.int32(s_word - 1))[
-                        :, None, :
-                    ],
-                    (W, s_word, B),
+                    am_row[:, None, :], (W, s_word, B)
                 ).reshape(N, B)
             else:
                 # unigram decomposition: best exit token + per-destination
@@ -191,6 +203,7 @@ def word_loop_decode_pallas(
     s_word: int,
     band: int,
     k_block: int = 4,
+    exit_col: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """(T, D, B) features + packed constants -> (final (W*S, B) scores,
@@ -198,9 +211,12 @@ def word_loop_decode_pallas(
 
     a/bias/diag: pack_vocab_constants (diagonal covariance); arc_col:
     (W*S, 1) per-destination cross-arc weight at entry rows (unigram) OR
-    (W, W) full bigram arc matrix (requires s_word % 8 == 0, module
-    docstring); entry_col: (W*S, 1) initial score (NEG_INF off entry
-    rows)."""
+    (W, W) full bigram arc matrix (requires s_word % 8 == 0 — callers
+    with other state counts pad states and pass exit_col, as
+    token_passing_fused does); entry_col: (W*S, 1) initial score
+    (NEG_INF off entry rows); exit_col: optional (W*S, 1) additive exit
+    mask — 0.0 at each word's exit row, NEG_INF elsewhere (defaults to
+    exit = last state of every word)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
@@ -211,6 +227,21 @@ def word_loop_decode_pallas(
         assert s_word % 8 == 0, (
             "bigram fused decode requires s_word % 8 == 0 (pad states)"
         )
+    rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
+    if exit_col is None:
+        exit_col = jnp.where(
+            rid == jnp.int32(s_word - 1), jnp.float32(0.0), jnp.float32(NEG_INF)
+        )[:, None]
+    exit_col = exit_col.astype(jnp.float32)
+    assert exit_col.shape == (N, 1)
+    if bigram:
+        # global row index of each word's exit (the masked row)
+        exit_row = (
+            jnp.argmax(
+                (exit_col[:, 0] > -1.0).reshape(N // s_word, s_word), axis=1
+            ).astype(jnp.int32)
+            + jnp.arange(N // s_word, dtype=jnp.int32) * jnp.int32(s_word)
+        )[:, None]
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
     tvm = lambda shape: pl.BlockSpec(
@@ -219,18 +250,28 @@ def word_loop_decode_pallas(
     tblk = lambda shape: pl.BlockSpec(
         shape, lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        tblk((k_block, D, B)),
+        tvm((M, N, twoD)),
+        tvm((M, N, 1)),
+        tvm((band + 1, N, 1)),
+        tvm(arc_col.shape),
+        tvm((N, 1)),
+        tvm((N, 1)),
+    ]
+    operands = [
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        exit_col,
+    ]
+    if bigram:
+        in_specs.append(tvm((N // s_word, 1)))
+        operands.append(exit_row)
+    in_specs.append(tvm((1, B)))
+    operands.append(lens)
     bp, final = pl.pallas_call(
         partial(_decode_kernel, M, k_block, band, s_word, bigram),
         grid=(nt,),
-        in_specs=[
-            tblk((k_block, D, B)),
-            tvm((M, N, twoD)),
-            tvm((M, N, 1)),
-            tvm((band + 1, N, 1)),
-            tvm(arc_col.shape),
-            tvm((N, 1)),
-            tvm((1, B)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             tblk((k_block, N, B)),
             tvm((N, B)),
@@ -246,10 +287,7 @@ def word_loop_decode_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        lens,
-    )
+    )(*operands)
     return final, bp
 
 
@@ -277,7 +315,8 @@ def _top2_fold(state, v, i):
 
 def _decode_k2_kernel(
     n_mix, k_block, band, s_word,
-    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, len_ref,
+    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    len_ref,
     bp_ref, final_ref,
     la_ref,
 ):
@@ -291,7 +330,7 @@ def _decode_k2_kernel(
     tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
-    is_exit = row_in_word == jnp.int32(s_word - 1)
+    is_exit = exit_ref[:] > jnp.float32(-1.0)  # (N, 1) bool, broadcasts
     n_within = 2 * (band + 1)
 
     for k in range(k_block):
@@ -445,16 +484,25 @@ def word_loop_decode_k2_pallas(
     s_word: int,
     band: int,
     k_block: int = 4,
+    exit_col: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """n_best=2 variant of word_loop_decode_pallas (unigram arc_col only):
-    returns (final (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k)."""
+    returns (final (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k).
+    exit_col as in word_loop_decode_pallas (per-word exit-row mask)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
     M, N, twoD = a.shape
     assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
     assert arc_col.shape == (N, 1), "k2 kernel: unigram arcs only"
+    if exit_col is None:
+        rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
+        exit_col = jnp.where(
+            rid == jnp.int32(s_word - 1), jnp.float32(0.0), jnp.float32(NEG_INF)
+        )[:, None]
+    exit_col = exit_col.astype(jnp.float32)
+    assert exit_col.shape == (N, 1)
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
     tvm = lambda shape: pl.BlockSpec(
@@ -471,6 +519,7 @@ def word_loop_decode_k2_pallas(
             tvm((M, N, twoD)),
             tvm((M, N, 1)),
             tvm((band + 1, N, 1)),
+            tvm((N, 1)),
             tvm((N, 1)),
             tvm((N, 1)),
             tvm((1, B)),
@@ -493,6 +542,6 @@ def word_loop_decode_k2_pallas(
         interpret=interpret,
     )(
         feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        lens,
+        exit_col, lens,
     )
     return final, bp

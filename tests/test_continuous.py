@@ -375,9 +375,10 @@ def test_fused_decode_matches_block_engine():
     batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
 
     graph = compose_word_loop_blocks(vocab)
-    final_f, bps_f = token_passing_fused(
+    final_f, bps_f, s_eff = token_passing_fused(
         vocab, graph, batch, k_block=4, interpret=True
     )
+    assert s_eff == S
     fin_f = np.asarray(final_f)
 
     results = decode_continuous_batch(vocab, batch, interpret=True)
@@ -433,9 +434,10 @@ def test_fused_decode_bigram_matches_block_engine():
         utts.append(np.asarray(frames))
     batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
 
-    final_f, bps_f = token_passing_fused(
+    final_f, bps_f, s_eff = token_passing_fused(
         vocab, graph, batch, k_block=4, interpret=True
     )
+    assert s_eff == S
     fin_f = np.asarray(final_f)
 
     for b, u in enumerate(utts):
@@ -447,6 +449,70 @@ def test_fused_decode_bigram_matches_block_engine():
         finite = np.isfinite(fx)
         assert np.isfinite(got[finite]).all()
         np.testing.assert_allclose(got[finite], fx[finite], rtol=2e-5, atol=1e-3)
+
+
+def test_fused_decode_bigram_padded_states_matches_block_engine():
+    """BIGRAM fused decode with s_word NOT a multiple of 8 (round 4):
+    token_passing_fused auto-pads every word with unreachable filler
+    states and keeps the real exit row live through the kernel's
+    exit_col/exitrow operands.  Scores at real states and the full
+    decode_continuous_batch word sequences must match the XLA engines at
+    the reference's own 6-state shape."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        decode_continuous,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(7)
+    W, S, D = 5, 6, 4  # the reference trainer's own 6-state shape
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))  # genuine bigram
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
+    assert not np.allclose(np.asarray(graph.arc), np.asarray(graph.arc)[0:1])
+
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    final_f, bps_f, s_eff = token_passing_fused(
+        vocab, graph, batch, k_block=4, interpret=True
+    )
+    assert s_eff == 8  # padded from 6
+    fin_f = np.asarray(final_f).reshape(W, s_eff, -1)[:, :S]  # real states
+
+    results = decode_continuous_batch(
+        vocab, batch, lm_logprobs=lm, interpret=True
+    )
+    for b, u in enumerate(utts):
+        frames = jnp.asarray(u, jnp.float32)
+        log_b = composed_emissions(vocab, frames)
+        final_x, _ = token_passing_blocks(graph, log_b, n_best=1)
+        fx = np.asarray(final_x)[:, 0].reshape(W, S)
+        got = fin_f[:, :, b]
+        finite = np.isfinite(fx)
+        assert np.isfinite(got[finite]).all()
+        np.testing.assert_allclose(got[finite], fx[finite], rtol=2e-5, atol=1e-3)
+        ref = decode_continuous(vocab, frames, lm_logprobs=lm, n_best=1)[0]
+        score_b, words_b, spans_b = results[b]
+        assert words_b == ref[1], (b, words_b, ref[1])
+        np.testing.assert_allclose(score_b, ref[0], rtol=2e-5)
 
 
 def test_fused_decode_k2_matches_block_engine():
