@@ -226,9 +226,10 @@ def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False):
     return (time.perf_counter() - t0) / n / (B * T * FRAME_SHIFT_S)
 
 
-def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5):
+def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False, k_block=4):
     """Per-utterance RTF of the n_best=2 fused decode kernel (two token
-    planes, in-kernel top-2 merges, round 4)."""
+    planes, in-kernel top-2 merges, round 4; bigram=True runs the
+    per-plane (W, W) contraction)."""
     import jax
     import jax.numpy as jnp
 
@@ -242,12 +243,15 @@ def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5):
     vocab = stack_models(
         [_rand_model(rng, S, M, D, jnp.float32).replace(word=f"w{i}") for i in range(W)]
     )
-    graph = compose_word_loop_blocks(vocab)
+    lm = np.log(rng.dirichlet(np.ones(W), size=W)) if bigram else None
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
 
     def run():
-        f, b = token_passing_fused_k2(vocab, graph, batch, interpret=False)
+        f, b, _ = token_passing_fused_k2(
+            vocab, graph, batch, k_block=k_block, interpret=False
+        )
         return float(jnp.max(f[0]) + jnp.max(f[1]))  # forced fetch
 
     run()
@@ -283,6 +287,11 @@ def config3(rng):
             k2 = _fused_k2_rtf(rng, W=200, S=8, M=4, D=13, T=1000)
             out["k2_fused_rtf_w200"] = round(k2, 6)
             out["k2_fused_w200_audio_s_per_s"] = round(1.0 / k2, 1)
+            k2b = _fused_k2_rtf(
+                rng, W=200, S=8, M=4, D=13, T=1000, bigram=True
+            )
+            out["k2_bigram_fused_rtf_w200"] = round(k2b, 6)
+            out["k2_bigram_fused_w200_audio_s_per_s"] = round(1.0 / k2b, 1)
     except Exception as e:  # pragma: no cover
         out["fused_decode_error"] = str(e)[:120]
     return out

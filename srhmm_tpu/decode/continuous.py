@@ -695,9 +695,11 @@ def token_passing_fused_k2(
 ):
     """Batched n_best=2 word-loop Viterbi on the fused K=2 decode kernel
     (ops/pallas/decode_pallas.py word_loop_decode_k2_pallas) — two token
-    planes per state, in-kernel top-2 merges, unigram-decomposable arcs
-    only.  Returns (final (2, W*S, B) scores, bps (T, 2, W*S, B) int32
-    flat src*2+k backpointers, trimmed to the original B)."""
+    planes per state, in-kernel top-2 merges; unigram-decomposable AND
+    (round 4) genuine bigram arcs, the latter auto-padding state counts
+    to a multiple of 8 as in token_passing_fused.  Returns (final
+    (2, W*s_eff, B) scores, bps (T, 2, W*s_eff, B) int32 flat src*2+k
+    backpointers, trimmed to the original B, s_eff)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_k2_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
@@ -706,13 +708,26 @@ def token_passing_fused_k2(
     if len(vocab.streams) != 1 or stream.cov_type != "diag":
         raise ValueError("token_passing_fused_k2: single diagonal stream only")
     arc = np.asarray(graph.arc, np.float64)
-    if not np.allclose(arc, arc[0:1]):
-        raise ValueError(
-            "token_passing_fused_k2: unigram-decomposable arcs only; "
-            "use token_passing_blocks"
-        )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    N = W * S
+    unigram = bool(np.allclose(arc, arc[0:1]))
+    s_eff = S
+    if not unigram:
+        if W * W * 128 * 4 * 2 > 48 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused_k2: bigram W^2 working set exceeds "
+                "the VMEM budget — use token_passing_blocks"
+            )
+        if W * W * 128 * 4 > 4 * 1024 * 1024:
+            # the per-plane (W, W, B) contraction temporaries leave no
+            # VMEM headroom for a double-buffered multi-frame bp window
+            # (W=200 at k_block=4 exceeds the 128 MB capacity by 17 MB;
+            # k_block=1 fits and costs ~nothing — the kernel is
+            # VPU-bound, not grid-overhead-bound, at this size)
+            k_block = 1
+        if S % 8 != 0:
+            s_eff = -(-S // 8) * 8
+            vocab = _pad_vocab_states(vocab, s_eff)
+    N = W * s_eff
     feats = batch.features
     lengths = batch.lengths
     B, T, D = feats.shape
@@ -723,20 +738,29 @@ def token_passing_fused_k2(
         lengths = jnp.pad(lengths, (0, pad_b))
 
     a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    entry_rows = np.arange(W) * S
-    arc_col = np.full((N, 1), DNEG)
-    arc_col[entry_rows, 0] = arc[0]
+    entry_rows = np.arange(W) * s_eff
+    if unigram:
+        arc_col = np.full((N, 1), DNEG)
+        arc_col[entry_rows, 0] = arc[0]
+    else:
+        arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    exit_col = None
+    if s_eff != S:
+        ec = np.full((N, 1), DNEG)
+        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        exit_col = jnp.asarray(ec, jnp.float32)
 
     feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     final, bps = word_loop_decode_k2_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
-        lengths, s_word=S, band=band, k_block=k_block, interpret=interpret,
+        lengths, s_word=s_eff, band=band, k_block=k_block,
+        exit_col=exit_col, interpret=interpret,
     )
-    return final[:, :, :B], bps[:, :, :, :B]
+    return final[:, :, :B], bps[:, :, :, :B], s_eff
 
 
 def decode_continuous_batch(
@@ -760,9 +784,9 @@ def decode_continuous_batch(
 
     n_best=1 (default) returns a list over utterances of
     (score, word_ids, word_spans); n_best=2 rides the fused K=2 kernel
-    (token_passing_fused_k2; unigram arcs) and returns a list over
-    utterances of UP TO 2 such tuples, best first (use decode_continuous
-    for K > 2)."""
+    (token_passing_fused_k2; unigram AND bigram arcs since round 4) and
+    returns a list over utterances of UP TO 2 such tuples, best first
+    (use decode_continuous for K > 2)."""
     if n_best == 2:
         return _decode_batch_k2(
             vocab, batch, lm_logprobs, exit_logprob, lm_scale,
@@ -842,17 +866,39 @@ def _decode_batch_k2(
         lm_initial=lm_initial,
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    N = W * S
-    final, bps = token_passing_fused_k2(
-        vocab, graph, batch, k_block=k_block, interpret=interpret
-    )  # (2, N, B), (T, 2, N, B)
+    try:
+        final, bps, s_eff = token_passing_fused_k2(
+            vocab, graph, batch, k_block=k_block, interpret=interpret
+        )  # (2, N, B), (T, 2, N, B) with N = W * s_eff
+    except ValueError:  # ineligible graph: per-utterance XLA engine
+        lengths_np = np.asarray(batch.lengths)
+        out = []
+        for b in range(batch.features.shape[0]):
+            L = int(lengths_np[b])
+            if L <= 0:
+                out.append([])
+                continue
+            out.append(
+                decode_continuous(
+                    vocab,
+                    batch.features[b, :L],
+                    lm_logprobs=lm_logprobs,
+                    exit_logprob=exit_logprob,
+                    lm_scale=lm_scale,
+                    word_insertion_penalty=word_insertion_penalty,
+                    lm_initial=lm_initial,
+                    n_best=2,
+                )
+            )
+        return out
+    N = W * s_eff
     T = bps.shape[0]
     B = final.shape[-1]
     # flat id space: id = n*2 + k
     scores_flat = jnp.transpose(final, (1, 0, 2)).reshape(2 * N, B)
     bp_flat = jnp.transpose(bps, (0, 2, 1, 3)).reshape(T, 2 * N, B)
     row = jnp.arange(2 * N)[:, None]
-    is_exit = ((row // 2) % S) == (S - 1)
+    is_exit = ((row // 2) % s_eff) == (S - 1)
     masked = jnp.where(is_exit, scores_flat, -jnp.inf)
     # the engine dedupes hypotheses by WORD SEQUENCE, so the two returned
     # hypotheses may come from deeper than the top-2 exit tokens: rank the
@@ -886,7 +932,7 @@ def _decode_batch_k2(
                 if not np.isfinite(score):
                     break
                 states = paths[:L, r, b] // 2  # token id -> composed state
-                words, spans = _words_from_path(states, S)
+                words, spans = _words_from_path(states, s_eff, exit_off=S - 1)
                 key = tuple(words)
                 if key not in seen:
                     seen.add(key)

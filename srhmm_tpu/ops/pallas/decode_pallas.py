@@ -32,11 +32,13 @@ Cross-word arcs come in two forms:
   XLA engine.
 
 K-best: n_best=1 is the production kernel; round 4 adds an n_best=2
-kernel (`word_loop_decode_k2_pallas`) for unigram-decomposable arcs —
-the token carry doubles to (2, N, B), every frame runs an elementwise
-top-2 merge over the 2*(band+1) within-word candidate planes plus 2
-cross-word planes (the unigram top-2 of all W*K exit tokens is
-destination-independent: two global reductions per frame), and
+kernel (`word_loop_decode_k2_pallas`) — the token carry doubles to
+(2, N, B), every frame runs an elementwise top-2 merge over the
+2*(band+1) within-word candidate planes plus 2 cross-word planes (the
+unigram top-2 of all W*K exit tokens is destination-independent: two
+global reductions per frame; BIGRAM runs the (W, W) contraction per
+plane, the per-destination union top-2 being max(runner-up source's
+best, best source's own second) since plane 2 <= plane 1 rowwise), and
 backpointers encode the XLA engine's flat (w*S+i)*K + k convention.
 K>2 stays on the XLA engine.  Tie-breaks may differ from the XLA engine
 (it prefers the lowest source state, these kernels the shortest jump) —
@@ -314,23 +316,32 @@ def _top2_fold(state, v, i):
 
 
 def _decode_k2_kernel(
-    n_mix, k_block, band, s_word,
+    n_mix, k_block, band, s_word, bigram,
     feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
-    len_ref,
-    bp_ref, final_ref,
-    la_ref,
+    *rest_refs,
 ):
     """n_best=2 word-loop Viterbi.  Shapes as _decode_kernel except:
     outputs bp (k_block, 2, N, B) int32 flat src*2+k backpointers and
-    final (2, N, B); scratch la (2, N, B) two-plane token carry."""
+    final (2, N, B); scratch la (2, N, B) two-plane token carry.  BIGRAM
+    (round 4): the (W, W) cross-arc contraction runs per candidate
+    plane — per-destination top-2 over the union of every source word's
+    two exit planes (second-best = max of the runner-up source's best
+    and the winning source's own second, since plane 2 <= plane 1
+    rowwise)."""
+    if bigram:
+        exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
+    else:
+        len_ref, bp_ref, final_ref, la_ref = rest_refs
     tb = pl.program_id(0)
     _, N, B = la_ref.shape
+    W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = exit_ref[:] > jnp.float32(-1.0)  # (N, 1) bool, broadcasts
+    is_entry = row_in_word == jnp.int32(0)
     n_within = 2 * (band + 1)
 
     for k in range(k_block):
@@ -379,49 +390,97 @@ def _decode_k2_kernel(
                     else:
                         state = _top2_fold(state, v, i)
             # ---- cross-word: top-2 of the union of both exit planes ----
-            e0 = jnp.where(is_exit, c[0], neg)
-            e1 = jnp.where(is_exit, c[1], neg)
-            rm0 = jnp.max(e0, axis=0, keepdims=True)  # (1, B)
-            rm1 = jnp.max(e1, axis=0, keepdims=True)
-            am0 = jnp.min(
-                jnp.where(e0 == rm0, row, jnp.int32(N)), axis=0, keepdims=True
-            )
-            am1 = jnp.min(
-                jnp.where(e1 == rm1, row, jnp.int32(N)), axis=0, keepdims=True
-            )
-            # second-best within each plane (excluding its own argmax row)
-            s0 = jnp.max(jnp.where(row == am0, neg, e0), axis=0, keepdims=True)
-            s1 = jnp.max(jnp.where(row == am1, neg, e1), axis=0, keepdims=True)
-            as0 = jnp.min(
-                jnp.where(jnp.where(row == am0, neg, e0) == s0, row, jnp.int32(N)),
-                axis=0, keepdims=True,
-            )
-            as1 = jnp.min(
-                jnp.where(jnp.where(row == am1, neg, e1) == s1, row, jnp.int32(N)),
-                axis=0, keepdims=True,
-            )
-            take0 = rm0 >= rm1  # union best comes from plane 0
-            x1v = jnp.where(take0, rm0, rm1)
-            x1bp = jnp.where(
-                take0, am0 * jnp.int32(2), am1 * jnp.int32(2) + jnp.int32(1)
-            )
-            # union second: loser of the best comparison vs the winner's own
-            # second
-            cand_a_v = jnp.where(take0, rm1, rm0)
-            cand_a_bp = jnp.where(
-                take0, am1 * jnp.int32(2) + jnp.int32(1), am0 * jnp.int32(2)
-            )
-            cand_b_v = jnp.where(take0, s0, s1)
-            cand_b_bp = jnp.where(
-                take0, as0 * jnp.int32(2), as1 * jnp.int32(2) + jnp.int32(1)
-            )
-            use_a = cand_a_v >= cand_b_v
-            x2v = jnp.where(use_a, cand_a_v, cand_b_v)
-            x2bp = jnp.where(use_a, cand_a_bp, cand_b_bp)
-            # fold the two cross planes in (entry rows only)
-            arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
-            cx1 = jnp.where(arc > neg, x1v + arc, neg)
-            cx2 = jnp.where(arc > neg, x2v + arc, neg)
+            if bigram:
+                # per-source-word exit values of both planes (exit mask +
+                # (W, S, B) max-reduce, per-word exit rows as in
+                # _decode_kernel), then the (W_src, W_dst, B) (max, +)
+                # contraction per plane.  Union top-2 per destination:
+                # best = best source's plane 1; second = max(runner-up
+                # source's plane 1, best source's plane 2) — valid since
+                # plane 2 <= plane 1 rowwise.
+                e0w = jnp.max((c[0] + exit_ref[:]).reshape(W, s_word, B), axis=1)
+                e1w = jnp.max((c[1] + exit_ref[:]).reshape(W, s_word, B), axis=1)
+                arc3 = arc_ref[:][:, :, None]  # (W_src, W_dst, 1)
+                cand1 = e0w[:, None, :] + arc3  # (W_src, W_dst, B)
+                cr1 = jnp.max(cand1, axis=0)  # (W_dst, B)
+                rows3 = jnp.broadcast_to(
+                    exitrow_ref[:][:, :, None], (W, W, B)
+                )
+                amr = jnp.min(
+                    jnp.where(cand1 == cr1[None], rows3, jnp.int32(N)), axis=0
+                )  # (W_dst, B) exit ROW of the best source word
+                is_best = rows3 == amr[None]
+                excl = jnp.where(is_best, neg, cand1)
+                s1x = jnp.max(excl, axis=0)  # runner-up source's plane 1
+                asr = jnp.min(
+                    jnp.where(excl == s1x[None], rows3, jnp.int32(N)), axis=0
+                )
+                c2b = jnp.max(
+                    jnp.where(is_best, e1w[:, None, :] + arc3, neg), axis=0
+                )  # best source's plane 2
+                use_ru = s1x >= c2b
+                x2v_w = jnp.where(use_ru, s1x, c2b)
+                x2bp_w = jnp.where(
+                    use_ru,
+                    asr * jnp.int32(2),
+                    amr * jnp.int32(2) + jnp.int32(1),
+                )
+
+                def spread(v):
+                    return jnp.broadcast_to(
+                        v[:, None, :], (W, s_word, B)
+                    ).reshape(N, B)
+
+                cx1 = jnp.where(is_entry, spread(cr1), neg)
+                cx2 = jnp.where(is_entry, spread(x2v_w), neg)
+                x1bp = spread(amr * jnp.int32(2))
+                x2bp = spread(x2bp_w)
+            else:
+                e0 = jnp.where(is_exit, c[0], neg)
+                e1 = jnp.where(is_exit, c[1], neg)
+                rm0 = jnp.max(e0, axis=0, keepdims=True)  # (1, B)
+                rm1 = jnp.max(e1, axis=0, keepdims=True)
+                am0 = jnp.min(
+                    jnp.where(e0 == rm0, row, jnp.int32(N)), axis=0, keepdims=True
+                )
+                am1 = jnp.min(
+                    jnp.where(e1 == rm1, row, jnp.int32(N)), axis=0, keepdims=True
+                )
+                # second-best within each plane (excluding its own argmax row)
+                s0 = jnp.max(jnp.where(row == am0, neg, e0), axis=0, keepdims=True)
+                s1 = jnp.max(jnp.where(row == am1, neg, e1), axis=0, keepdims=True)
+                as0 = jnp.min(
+                    jnp.where(jnp.where(row == am0, neg, e0) == s0, row, jnp.int32(N)),
+                    axis=0, keepdims=True,
+                )
+                as1 = jnp.min(
+                    jnp.where(jnp.where(row == am1, neg, e1) == s1, row, jnp.int32(N)),
+                    axis=0, keepdims=True,
+                )
+                take0 = rm0 >= rm1  # union best comes from plane 0
+                x1v = jnp.where(take0, rm0, rm1)
+                x1bp_u = jnp.where(
+                    take0, am0 * jnp.int32(2), am1 * jnp.int32(2) + jnp.int32(1)
+                )
+                # union second: loser of the best comparison vs the winner's
+                # own second
+                cand_a_v = jnp.where(take0, rm1, rm0)
+                cand_a_bp = jnp.where(
+                    take0, am1 * jnp.int32(2) + jnp.int32(1), am0 * jnp.int32(2)
+                )
+                cand_b_v = jnp.where(take0, s0, s1)
+                cand_b_bp = jnp.where(
+                    take0, as0 * jnp.int32(2), as1 * jnp.int32(2) + jnp.int32(1)
+                )
+                use_a = cand_a_v >= cand_b_v
+                x2v = jnp.where(use_a, cand_a_v, cand_b_v)
+                x2bp_u = jnp.where(use_a, cand_a_bp, cand_b_bp)
+                # per-destination arc (entry rows only)
+                arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
+                cx1 = jnp.where(arc > neg, x1v + arc, neg)
+                cx2 = jnp.where(arc > neg, x2v + arc, neg)
+                x1bp = jnp.broadcast_to(x1bp_u, (N, B))
+                x2bp = jnp.broadcast_to(x2bp_u, (N, B))
             state = _top2_fold(
                 state, cx1, jnp.full((N, B), n_within, jnp.int32)
             )
@@ -487,43 +546,67 @@ def word_loop_decode_k2_pallas(
     exit_col: jax.Array | None = None,
     interpret: bool | None = None,
 ):
-    """n_best=2 variant of word_loop_decode_pallas (unigram arc_col only):
-    returns (final (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k).
-    exit_col as in word_loop_decode_pallas (per-word exit-row mask)."""
+    """n_best=2 variant of word_loop_decode_pallas: returns (final
+    (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k).  arc_col
+    (W*S, 1) unigram OR (W, W) bigram (requires s_word % 8 == 0 — the
+    token_passing_fused_k2 wrapper pads states); exit_col as in
+    word_loop_decode_pallas (per-word exit-row mask)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
     M, N, twoD = a.shape
     assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
-    assert arc_col.shape == (N, 1), "k2 kernel: unigram arcs only"
+    bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
+    if bigram:
+        assert s_word % 8 == 0, (
+            "bigram fused decode requires s_word % 8 == 0 (pad states)"
+        )
+    else:
+        assert arc_col.shape == (N, 1)
+    rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
     if exit_col is None:
-        rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
         exit_col = jnp.where(
             rid == jnp.int32(s_word - 1), jnp.float32(0.0), jnp.float32(NEG_INF)
         )[:, None]
     exit_col = exit_col.astype(jnp.float32)
     assert exit_col.shape == (N, 1)
+    if bigram:
+        exit_row = (
+            jnp.argmax(
+                (exit_col[:, 0] > -1.0).reshape(N // s_word, s_word), axis=1
+            ).astype(jnp.int32)
+            + jnp.arange(N // s_word, dtype=jnp.int32) * jnp.int32(s_word)
+        )[:, None]
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
     tvm = lambda shape: pl.BlockSpec(
         shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec(
+            (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
+            memory_space=pltpu.VMEM,
+        ),
+        tvm((M, N, twoD)),
+        tvm((M, N, 1)),
+        tvm((band + 1, N, 1)),
+        tvm(arc_col.shape),
+        tvm((N, 1)),
+        tvm((N, 1)),
+    ]
+    operands = [
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        exit_col,
+    ]
+    if bigram:
+        in_specs.append(tvm((N // s_word, 1)))
+        operands.append(exit_row)
+    in_specs.append(tvm((1, B)))
+    operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_k2_kernel, M, k_block, band, s_word),
+        partial(_decode_k2_kernel, M, k_block, band, s_word, bigram),
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(
-                (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
-                memory_space=pltpu.VMEM,
-            ),
-            tvm((M, N, twoD)),
-            tvm((M, N, 1)),
-            tvm((band + 1, N, 1)),
-            tvm((N, 1)),
-            tvm((N, 1)),
-            tvm((N, 1)),
-            tvm((1, B)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (k_block, 2, N, B), lambda t: (t, 0 * t, 0 * t, 0 * t),
@@ -540,8 +623,5 @@ def word_loop_decode_k2_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        exit_col, lens,
-    )
+    )(*operands)
     return final, bp

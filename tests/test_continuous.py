@@ -547,9 +547,10 @@ def test_fused_decode_k2_matches_block_engine():
     batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
 
     graph = compose_word_loop_blocks(vocab)
-    final_f, bps_f = token_passing_fused_k2(
+    final_f, bps_f, s_eff = token_passing_fused_k2(
         vocab, graph, batch, k_block=4, interpret=True
     )
+    assert s_eff == S
     fin = np.asarray(final_f)  # (2, W*S, B)
 
     for b, u in enumerate(utts):
@@ -565,6 +566,78 @@ def test_fused_decode_k2_matches_block_engine():
             np.testing.assert_allclose(
                 got[finite], ref[finite], rtol=2e-5, atol=1e-3
             )
+
+
+def test_fused_decode_k2_bigram_matches_block_engine():
+    """n_best=2 + BIGRAM on the fused K=2 kernel (round 4): the per-plane
+    (W, W) (max, +) contraction's union top-2 (best source's both planes
+    vs runner-up source) must reproduce token_passing_blocks(n_best=2)
+    with the same bigram graph — at a state count that forces the
+    auto-padded path (S=6)."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        decode_continuous,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused_k2,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(11)
+    W, S, D = 5, 6, 4
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))  # genuine bigram
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
+    assert not np.allclose(np.asarray(graph.arc), np.asarray(graph.arc)[0:1])
+
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    final_f, bps_f, s_eff = token_passing_fused_k2(
+        vocab, graph, batch, k_block=4, interpret=True
+    )
+    assert s_eff == 8  # padded from 6
+    fin = np.asarray(final_f).reshape(2, W, s_eff, -1)[:, :, :S]
+
+    for b, u in enumerate(utts):
+        frames = jnp.asarray(u, jnp.float32)
+        log_b = composed_emissions(vocab, frames)
+        final_x, _ = token_passing_blocks(graph, log_b, n_best=2)
+        fx = np.asarray(final_x).reshape(W, S, 2)
+        for k in range(2):
+            ref = fx[:, :, k]
+            got = fin[k, :, :, b]
+            finite = np.isfinite(ref)
+            assert np.isfinite(got[finite]).all(), (b, k)
+            np.testing.assert_allclose(
+                got[finite], ref[finite], rtol=2e-5, atol=1e-3
+            )
+
+    # end-to-end: batched 2-best hypotheses match the single-utterance engine
+    results = decode_continuous_batch(
+        vocab, batch, lm_logprobs=lm, n_best=2, interpret=True
+    )
+    for b, u in enumerate(utts):
+        ref = decode_continuous(
+            vocab, jnp.asarray(u, jnp.float32), lm_logprobs=lm, n_best=2
+        )
+        for (rs, rw, _), (gs, gw, _) in zip(ref, results[b]):
+            assert gw == rw, (b, gw, rw)
+            np.testing.assert_allclose(gs, rs, rtol=2e-5)
 
 
 def test_decode_continuous_batch_k2_matches_single():
