@@ -3,12 +3,22 @@
 Usage:
     python -m srhmm_tpu.cli.decode model_list input_list output_file
         [--n-best K] [--exit-logprob X] [--ref ref_file]
+        [--lm lm_file] [--lm-scale S] [--word-penalty P] [--batch]
 
 model_list: list file of .hmm paths (the vocabulary); input_list: list file
 of .perfil paths (one utterance each); output_file receives one line per
 utterance:  <perfil>  <score>  <word sequence>, plus N-best blocks when
 --n-best > 1.  --ref gives a transcript file (one line per utterance,
 space-separated words) and adds a WER summary.
+
+--lm: language model log-probs — a text file of either W lines (unigram:
+"word logprob") or W*W lines (bigram: "prev next logprob"), or a .npy
+array of shape (W,) / (W, W).  --lm-scale and --word-penalty are the
+standard acoustic/LM balance knobs (decode/continuous.py).  --batch packs
+every utterance into one padded batch and decodes them all in a single
+fused-kernel pass (decode_continuous_batch; n_best <= 2 — the kernels'
+in-kernel {unigram, bigram} x {K=1, 2} matrix); default is the
+per-utterance engine, which supports any n_best.
 
 This is the capability the reference lacks entirely (isolated words only,
 SURVEY §0); BASELINE.json config 3.
@@ -20,6 +30,33 @@ import argparse
 import sys
 
 
+def _read_lm(path: str, words: list[str]):
+    """(W,) unigram or (W, W) bigram log-probs from .npy or text."""
+    import numpy as np
+
+    if path.endswith(".npy"):
+        lm = np.load(path)
+        if lm.shape not in ((len(words),), (len(words), len(words))):
+            raise SystemExit(
+                f"--lm: shape {lm.shape} does not match vocabulary "
+                f"W={len(words)}"
+            )
+        return lm
+    idx = {w: i for i, w in enumerate(words)}
+    rows = [l.split() for l in open(path).read().splitlines() if l.strip()]
+    if all(len(r) == 2 for r in rows):
+        lm = np.full(len(words), -np.inf)
+        for w, lp in rows:
+            lm[idx[w]] = float(lp)
+        return lm
+    if all(len(r) == 3 for r in rows):
+        lm = np.full((len(words), len(words)), -np.inf)
+        for u, v, lp in rows:
+            lm[idx[u], idx[v]] = float(lp)
+        return lm
+    raise SystemExit("--lm: lines must be 'word logprob' or 'prev next logprob'")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("model_list")
@@ -28,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-best", type=int, default=1)
     ap.add_argument("--exit-logprob", type=float, default=None)
     ap.add_argument("--ref", default=None)
+    ap.add_argument("--lm", default=None, help="unigram/bigram log-prob file")
+    ap.add_argument("--lm-scale", type=float, default=None)
+    ap.add_argument("--word-penalty", type=float, default=None)
+    ap.add_argument(
+        "--batch", action="store_true",
+        help="decode all utterances in one fused-kernel batch (n_best <= 2)",
+    )
     ns = ap.parse_args(argv)
 
     from ..utils import ensure_usable_backend
@@ -37,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..decode.continuous import decode_continuous
+    from ..decode.continuous import decode_continuous, decode_continuous_batch
     from ..eval.metrics import WerCounts, edit_alignment
     from ..io import read_list, read_perfil, read_vocabulary
     from ..models import stack_models
@@ -47,16 +91,42 @@ def main(argv: list[str] | None = None) -> int:
     kwargs = {}
     if ns.exit_logprob is not None:
         kwargs["exit_logprob"] = ns.exit_logprob
+    if ns.lm is not None:
+        kwargs["lm_logprobs"] = _read_lm(ns.lm, words)
+    if ns.lm_scale is not None:
+        kwargs["lm_scale"] = ns.lm_scale
+    if ns.word_penalty is not None:
+        kwargs["word_insertion_penalty"] = ns.word_penalty
 
     refs = None
     if ns.ref:
         refs = [l.split() for l in open(ns.ref).read().splitlines() if l.strip()]
 
+    paths = list(read_list(ns.input_list))
+    if ns.batch:
+        if ns.n_best > 2:
+            raise SystemExit("--batch supports n_best <= 2 (fused kernels)")
+        from ..io.dataset import pack_utterances
+
+        feats = [np.asarray(read_perfil(p), np.float32) for p in paths]
+        batch = pack_utterances(feats, pad_multiple=128, dtype=jnp.float32)
+        results = decode_continuous_batch(
+            vocab, batch, n_best=ns.n_best, **kwargs
+        )
+        all_hyps = [r if isinstance(r, list) else [r] for r in results]
+    else:
+        all_hyps = None
+
     total = WerCounts()
     with open(ns.output_file, "w") as out:
-        for i, path in enumerate(read_list(ns.input_list)):
-            frames = jnp.asarray(read_perfil(path), jnp.float32)
-            hyps = decode_continuous(vocab, frames, n_best=ns.n_best, **kwargs)
+        for i, path in enumerate(paths):
+            if all_hyps is not None:
+                hyps = all_hyps[i]
+            else:
+                frames = jnp.asarray(read_perfil(path), jnp.float32)
+                hyps = decode_continuous(
+                    vocab, frames, n_best=ns.n_best, **kwargs
+                )
             best_score, best_words, spans = hyps[0]
             hyp_words = [words[w] for w in best_words]
             out.write(f"{path}\t{best_score:.4f}\t{' '.join(hyp_words)}\n")

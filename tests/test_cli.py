@@ -173,6 +173,50 @@ def test_decode_cli_end_to_end(reference_root, tmp_path):
     assert "WER: 0.00%" in out
 
 
+def test_decode_cli_batch_bigram(reference_root, tmp_path):
+    """--batch --lm bigram --n-best 2 from the CLI (round 4).  The fixture
+    models are FULL covariance, so this drives decode_continuous_batch's
+    ineligible-graph fallback (per-utterance XLA engine) end-to-end; the
+    fused path itself is equivalence-locked in test_continuous.py.  Each
+    utterance must still decode to its own word as the 1-best."""
+    models = sorted((reference_root / "test/test/models").glob("*.hmm"))[:3]
+    perfils = [
+        reference_root / "test/test/perfil_data" / (m.stem + ".perfil")
+        for m in models
+    ]
+    names = [m.stem.replace("mean_", "") for m in models]
+    (tmp_path / "models.txt").write_text("\n".join(str(m) for m in models) + "\n")
+    (tmp_path / "inputs.txt").write_text("\n".join(str(p) for p in perfils) + "\n")
+    (tmp_path / "refs.txt").write_text("\n".join(names) + "\n")
+    import numpy as np
+
+    W = len(models)
+    lm = np.log(np.random.default_rng(0).dirichlet(np.ones(W), size=W))
+    lines = [
+        f"{names[u]} {names[v]} {lm[u, v]:.6f}"
+        for u in range(W)
+        for v in range(W)
+    ]
+    (tmp_path / "lm.txt").write_text("\n".join(lines) + "\n")
+    r = _run(
+        [
+            "srhmm_tpu.cli.decode",
+            str(tmp_path / "models.txt"),
+            str(tmp_path / "inputs.txt"),
+            str(tmp_path / "out.txt"),
+            "--batch",
+            "--n-best", "2",
+            "--lm", str(tmp_path / "lm.txt"),
+            "--ref", str(tmp_path / "refs.txt"),
+        ],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    out = (tmp_path / "out.txt").read_text()
+    assert "WER: 0.00%" in out
+    assert "2-best" in out
+
+
 def test_features_cli_wav_to_perfil(tmp_path):
     """WAV -> MFCC -> .perfil round trip through the features CLI."""
     import struct
