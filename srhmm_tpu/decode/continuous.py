@@ -763,6 +763,62 @@ def token_passing_fused_k2(
     return final[:, :, :B], bps[:, :, :, :B], s_eff
 
 
+def token_passing_fused_kn(
+    vocab: GmmHmm,
+    graph: BlockGraph,
+    batch,
+    n_best: int,
+    k_block: int = 2,
+    interpret: bool | None = None,
+):
+    """Batched general n_best=K word-loop Viterbi on the fused K-slot
+    kernel (ops/pallas/decode_pallas.py word_loop_decode_kn_pallas) —
+    UNIGRAM-decomposable arcs only (bigram K>2 stays on the XLA engine;
+    K=2 callers should prefer token_passing_fused_k2).  Returns (final
+    (K, W*S, B), bps (T, K, W*S, B) int32 flat src*K + k, trimmed to
+    the original B, s_eff == S)."""
+    from ..ops.pallas.decode_pallas import NEG_INF as DNEG
+    from ..ops.pallas.decode_pallas import word_loop_decode_kn_pallas
+    from ..ops.pallas.scoring_pallas import pack_vocab_constants
+
+    stream = vocab.streams[0]
+    if len(vocab.streams) != 1 or stream.cov_type != "diag":
+        raise ValueError("token_passing_fused_kn: single diagonal stream only")
+    arc = np.asarray(graph.arc, np.float64)
+    if not np.allclose(arc, arc[0:1]):
+        raise ValueError(
+            "token_passing_fused_kn: unigram-decomposable arcs only; "
+            "use token_passing_blocks for bigram K > 2"
+        )
+    W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
+    N = W * S
+    feats = batch.features
+    lengths = batch.lengths
+    B, T, D = feats.shape
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    if pad_b or pad_t:
+        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_b))
+
+    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    entry_rows = np.arange(W) * S
+    arc_col = np.full((N, 1), DNEG)
+    arc_col[entry_rows, 0] = arc[0]
+    entry_col = np.full((N, 1), DNEG)
+    entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+
+    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
+    final, bps = word_loop_decode_kn_pallas(
+        feats_tdb, a, bias, diag,
+        jnp.asarray(arc_col, jnp.float32),
+        jnp.asarray(entry_col, jnp.float32),
+        lengths, s_word=S, band=band, n_best=n_best, k_block=k_block,
+        interpret=interpret,
+    )
+    return final[:, :, :B], bps[:, :, :, :B], S
+
+
 def decode_continuous_batch(
     vocab: GmmHmm,
     batch,
@@ -785,18 +841,17 @@ def decode_continuous_batch(
     n_best=1 (default) returns a list over utterances of
     (score, word_ids, word_spans); n_best=2 rides the fused K=2 kernel
     (token_passing_fused_k2; unigram AND bigram arcs since round 4) and
-    returns a list over utterances of UP TO 2 such tuples, best first
-    (use decode_continuous for K > 2)."""
-    if n_best == 2:
-        return _decode_batch_k2(
+    n_best>=3 the general K-slot kernel (token_passing_fused_kn;
+    unigram arcs — bigram K>2 falls back to the per-utterance engine);
+    both return a list over utterances of UP TO n_best tuples, best
+    first."""
+    if n_best >= 2:
+        return _decode_batch_kn(
             vocab, batch, lm_logprobs, exit_logprob, lm_scale,
-            word_insertion_penalty, lm_initial, k_block, interpret,
+            word_insertion_penalty, lm_initial, k_block, n_best, interpret,
         )
     if n_best != 1:
-        raise ValueError(
-            "decode_continuous_batch: n_best in (1, 2); use "
-            "decode_continuous for K > 2"
-        )
+        raise ValueError("decode_continuous_batch: n_best must be >= 1")
     graph = compose_word_loop_blocks(
         vocab,
         lm_logprobs=lm_logprobs,
@@ -849,14 +904,17 @@ def decode_continuous_batch(
     return out
 
 
-def _decode_batch_k2(
+def _decode_batch_kn(
     vocab, batch, lm_logprobs, exit_logprob, lm_scale,
-    word_insertion_penalty, lm_initial, k_block, interpret,
+    word_insertion_penalty, lm_initial, k_block, n_best, interpret,
 ):
-    """n_best=2 batched decode on the fused K=2 kernel: the flat n*2+k
-    token-id space makes backtrace_batch_device directly reusable —
-    transpose the (T, 2, N, B) backpointers to (T, N, 2, B) and flatten,
-    so pointer entries and row indices share the id = n*2+k encoding."""
+    """n_best=K batched decode on the fused K-plane kernels: the flat
+    n*K+k token-id space makes backtrace_batch_device directly
+    reusable — transpose the (T, K, N, B) backpointers to (T, N, K, B)
+    and flatten, so pointer entries and row indices share the
+    id = n*K+k encoding.  K=2 rides token_passing_fused_k2 (bigram
+    support); K>=3 the general K-slot kernel (unigram arcs)."""
+    K = n_best
     graph = compose_word_loop_blocks(
         vocab,
         lm_logprobs=lm_logprobs,
@@ -867,9 +925,15 @@ def _decode_batch_k2(
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     try:
-        final, bps, s_eff = token_passing_fused_k2(
-            vocab, graph, batch, k_block=k_block, interpret=interpret
-        )  # (2, N, B), (T, 2, N, B) with N = W * s_eff
+        if K == 2:
+            final, bps, s_eff = token_passing_fused_k2(
+                vocab, graph, batch, k_block=k_block, interpret=interpret
+            )  # (2, N, B), (T, 2, N, B) with N = W * s_eff
+        else:
+            final, bps, s_eff = token_passing_fused_kn(
+                vocab, graph, batch, n_best=K,
+                k_block=max(1, min(k_block, 8 // K)), interpret=interpret,
+            )
     except ValueError:  # ineligible graph: per-utterance XLA engine
         lengths_np = np.asarray(batch.lengths)
         out = []
@@ -887,27 +951,27 @@ def _decode_batch_k2(
                     lm_scale=lm_scale,
                     word_insertion_penalty=word_insertion_penalty,
                     lm_initial=lm_initial,
-                    n_best=2,
+                    n_best=K,
                 )
             )
         return out
     N = W * s_eff
     T = bps.shape[0]
     B = final.shape[-1]
-    # flat id space: id = n*2 + k
-    scores_flat = jnp.transpose(final, (1, 0, 2)).reshape(2 * N, B)
-    bp_flat = jnp.transpose(bps, (0, 2, 1, 3)).reshape(T, 2 * N, B)
-    row = jnp.arange(2 * N)[:, None]
-    is_exit = ((row // 2) % s_eff) == (S - 1)
+    # flat id space: id = n*K + k
+    scores_flat = jnp.transpose(final, (1, 0, 2)).reshape(K * N, B)
+    bp_flat = jnp.transpose(bps, (0, 2, 1, 3)).reshape(T, K * N, B)
+    row = jnp.arange(K * N)[:, None]
+    is_exit = ((row // K) % s_eff) == (S - 1)
     masked = jnp.where(is_exit, scores_flat, -jnp.inf)
     # the engine dedupes hypotheses by WORD SEQUENCE, so the two returned
     # hypotheses may come from deeper than the top-2 exit tokens: rank the
     # top-R candidates, backtrace them all in one batched scan, dedupe on
     # the host (R = all 2W exit tokens, matching decode_continuous exactly)
-    R = 2 * W
+    R = K * W
     ranked = jnp.argsort(-masked, axis=0)[:R]  # (R, B) candidate ids
 
-    def _bt_step(s, bp_t):  # s: (R, B); bp_t: (2N, B)
+    def _bt_step(s, bp_t):  # s: (R, B); bp_t: (K*N, B)
         nxt = jnp.take_along_axis(bp_t, s, axis=0)
         return nxt, s
 
@@ -931,13 +995,13 @@ def _decode_batch_k2(
                 score = float(sc[cid, b])
                 if not np.isfinite(score):
                     break
-                states = paths[:L, r, b] // 2  # token id -> composed state
+                states = paths[:L, r, b] // K  # token id -> composed state
                 words, spans = _words_from_path(states, s_eff, exit_off=S - 1)
                 key = tuple(words)
                 if key not in seen:
                     seen.add(key)
                     hyps.append((score, words, spans))
-                if len(hyps) >= 2:
+                if len(hyps) >= K:
                     break
         out.append(hyps)
     return out

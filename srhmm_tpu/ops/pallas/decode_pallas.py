@@ -40,10 +40,15 @@ global reductions per frame; BIGRAM runs the (W, W) contraction per
 plane, the per-destination union top-2 being max(runner-up source's
 best, best source's own second) since plane 2 <= plane 1 rowwise), and
 backpointers encode the XLA engine's flat (w*S+i)*K + k convention.
-K>2 stays on the XLA engine.  Tie-breaks may differ from the XLA engine
-(it prefers the lowest source state, these kernels the shortest jump) —
-both are optimal paths; equality tests use continuous random emissions
-where ties have measure zero.
+Late round 4 generalizes to ANY n_best (`word_loop_decode_kn_pallas`):
+a K-slot elementwise insertion network over the (band+1)*K within-word
+planes plus K cross-word planes, the global top-K of all N*K exit
+tokens extracted by K masked max-reductions with a per-row take
+counter (unigram arcs; bigram stays K <= 2 — its per-plane (W, W)
+contraction state grows past the VMEM budget at useful W).  Tie-breaks
+may differ from the XLA engine (it prefers the lowest source state,
+these kernels the shortest jump) — both are optimal paths; equality
+tests use continuous random emissions where ties have measure zero.
 """
 
 from __future__ import annotations
@@ -624,4 +629,246 @@ def word_loop_decode_k2_pallas(
         ),
         interpret=interpret,
     )(*operands)
+    return final, bp
+
+
+# ---------------------------------------------------------------------------
+# general n_best = K (round 4): K-slot elementwise insertion network.
+# Unigram-decomposable arcs only — the destination-independent global
+# top-K of all N*K exit tokens comes from K masked max-reductions with a
+# per-row take counter (the planes are maintained sorted per state, so
+# the next-best token of a row after t takes IS plane t).  Bigram K>2
+# stays on the XLA engine (the per-plane (W, W) contraction state grows
+# as K * (W, W, B) — past the VMEM budget at useful W).
+# ---------------------------------------------------------------------------
+
+
+def _topk_insert(vals, ids, v, i):
+    """Elementwise K-slot insertion: bubble candidate (v, i) down the
+    descending-sorted slot lists.  Strict > keeps first-seen on ties
+    (deterministic, matches _top2_fold)."""
+    K = len(vals)
+    for k in range(K):
+        better = v > vals[k]
+        vals[k], v = (
+            jnp.where(better, v, vals[k]),
+            jnp.where(better, vals[k], v),
+        )
+        ids[k], i = (
+            jnp.where(better, i, ids[k]),
+            jnp.where(better, ids[k], i),
+        )
+    return vals, ids
+
+
+def _decode_kn_kernel(
+    n_mix, k_block, band, s_word, K,
+    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    len_ref,
+    bp_ref, final_ref,
+    la_ref,
+):
+    """n_best=K word-loop Viterbi (unigram arcs).  Shapes as
+    _decode_k2_kernel with the plane axis K instead of 2: bp
+    (k_block, K, N, B) int32 flat src*K + k backpointers, final / la
+    (K, N, B)."""
+    tb = pl.program_id(0)
+    _, N, B = la_ref.shape
+    lens = len_ref[:]
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    row_in_word = row % jnp.int32(s_word)
+    is_exit = exit_ref[:] > jnp.float32(-1.0)
+    n_within = (band + 1) * K
+
+    for k in range(k_block):
+        x = feats_ref[k]
+        lift = jnp.concatenate([x, x * x], axis=0)
+        m_s = None
+        e = None
+        for m in range(n_mix):
+            q = (
+                jnp.dot(
+                    a_ref[m], lift,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + bias_ref[m]
+            )
+            if m == 0:
+                m_s = jnp.maximum(q, neg)
+                e = jnp.exp(q - m_s)
+            else:
+                new_m = jnp.maximum(m_s, q)
+                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
+                m_s = new_m
+        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+
+        def first():
+            outs = [jnp.maximum(entry_ref[:] + log_b, neg)]
+            outs += [jnp.full((N, B), neg) for _ in range(K - 1)]
+            bps = [row * jnp.int32(K) + jnp.int32(kk) for kk in range(K)]
+            return tuple(outs) + tuple(bps)
+
+        def rest():
+            c = [la_ref[kk] for kk in range(K)]
+            vals = [jnp.full((N, B), neg) for _ in range(K)]
+            ids = [jnp.full((N, B), 0, jnp.int32) for _ in range(K)]
+            # within-word planes pid = d*K + kk
+            for d in range(band + 1):
+                for kk in range(K):
+                    if d == 0:
+                        sh = c[kk]
+                    else:
+                        sh = pltpu.roll(c[kk], shift=jnp.int32(d), axis=0)
+                        sh = jnp.where(row_in_word >= d, sh, neg)
+                    v = sh + diag_ref[d]
+                    i = jnp.full((N, B), d * K + kk, jnp.int32)
+                    vals, ids = _topk_insert(vals, ids, v, i)
+            # cross-word: global top-K of all N*K exit tokens via per-row
+            # take counters (plane t of a row is its (t+1)-th best token)
+            planes = [jnp.where(is_exit, c[kk], neg) for kk in range(K)]
+            tc = jnp.zeros((N, B), jnp.int32)
+            arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
+            for t in range(K):
+                cand = jnp.full((N, B), neg)
+                for kk in range(K - 1, -1, -1):
+                    cand = jnp.where(tc == kk, planes[kk], cand)
+                m = jnp.max(cand, axis=0, keepdims=True)  # (1, B)
+                am = jnp.min(
+                    jnp.where(cand == m, row, jnp.int32(N)),
+                    axis=0, keepdims=True,
+                )
+                tc_sel = jnp.min(
+                    jnp.where(row == am, tc, jnp.int32(N)),
+                    axis=0, keepdims=True,
+                )
+                bp_t = am * jnp.int32(K) + tc_sel  # (1, B)
+                v = jnp.where(arc > neg, m + arc, neg)
+                vals, ids = _topk_insert(
+                    vals, ids, v, jnp.full((N, B), n_within + t, jnp.int32)
+                )
+                tc = jnp.where(row == am, tc + jnp.int32(1), tc)
+                if t == 0:
+                    bp_x = [bp_t]
+                else:
+                    bp_x.append(bp_t)
+
+            def bp_of(pid):
+                bp = jnp.zeros((N, B), jnp.int32)
+                for d in range(band + 1):
+                    for kk in range(K):
+                        bp = jnp.where(
+                            pid == d * K + kk,
+                            (row - jnp.int32(d)) * jnp.int32(K) + jnp.int32(kk),
+                            bp,
+                        )
+                for t in range(K):
+                    bp = jnp.where(
+                        pid == n_within + t,
+                        jnp.broadcast_to(bp_x[t], (N, B)),
+                        bp,
+                    )
+                return bp
+
+            outs = [jnp.maximum(vals[kk] + log_b, neg) for kk in range(K)]
+            bps = [bp_of(ids[kk]) for kk in range(K)]
+            return tuple(outs) + tuple(bps)
+
+        if k == 0:
+            res = jax.lax.cond(tb == 0, first, rest)
+        else:
+            res = rest()
+        t = tb * k_block + k
+        keep = lens > jnp.float32(1.0) * t
+        if k == 0:
+            keep = keep | (tb == 0)
+        for kk in range(K):
+            la_ref[kk] = jnp.where(keep, res[kk], la_ref[kk])
+            bp_ref[k, kk] = jnp.where(
+                keep, res[K + kk], row * jnp.int32(K) + jnp.int32(kk)
+            )
+
+    final_ref[:] = la_ref[:]
+
+
+@partial(
+    jax.jit, static_argnames=("s_word", "band", "n_best", "k_block", "interpret")
+)
+def word_loop_decode_kn_pallas(
+    feats_tdb: jax.Array,
+    a: jax.Array,
+    bias: jax.Array,
+    diag: jax.Array,
+    arc_col: jax.Array,
+    entry_col: jax.Array,
+    lengths: jax.Array,
+    s_word: int,
+    band: int,
+    n_best: int,
+    k_block: int = 2,
+    exit_col: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """General n_best=K variant (unigram arc_col only): returns (final
+    (K, W*S, B), bp (T, K, W*S, B) int32 flat src*K + k).  K=2 callers
+    should prefer word_loop_decode_k2_pallas (bigram support); this
+    kernel exists for K >= 3."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    K = n_best
+    T, D, B = feats_tdb.shape
+    M, N, twoD = a.shape
+    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    assert arc_col.shape == (N, 1), "kn kernel: unigram arcs only"
+    assert K >= 2
+    if exit_col is None:
+        rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
+        exit_col = jnp.where(
+            rid == jnp.int32(s_word - 1), jnp.float32(0.0), jnp.float32(NEG_INF)
+        )[:, None]
+    exit_col = exit_col.astype(jnp.float32)
+    assert exit_col.shape == (N, 1)
+    lens = lengths.astype(jnp.float32).reshape(1, B)
+    nt = T // k_block
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    bp, final = pl.pallas_call(
+        partial(_decode_kn_kernel, M, k_block, band, s_word, K),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
+                memory_space=pltpu.VMEM,
+            ),
+            tvm((M, N, twoD)),
+            tvm((M, N, 1)),
+            tvm((band + 1, N, 1)),
+            tvm((N, 1)),
+            tvm((N, 1)),
+            tvm((N, 1)),
+            tvm((1, B)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_block, K, N, B), lambda t: (t, 0 * t, 0 * t, 0 * t),
+                memory_space=pltpu.VMEM,
+            ),
+            tvm((K, N, B)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, K, N, B), jnp.int32),
+            jax.ShapeDtypeStruct((K, N, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, N, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        exit_col, lens,
+    )
     return final, bp

@@ -568,6 +568,67 @@ def test_fused_decode_k2_matches_block_engine():
             )
 
 
+def test_fused_decode_kn_matches_block_engine():
+    """General n_best=K kernel (round 4, K-slot insertion network +
+    per-row take-counter global top-K cross merge): K=3 and K=4 final
+    scores must reproduce token_passing_blocks(n_best=K), and the
+    batched K=3 decode's deduped hypotheses must match
+    decode_continuous."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        decode_continuous,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused_kn,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(13)
+    W, S, D = 5, 4, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    graph = compose_word_loop_blocks(vocab)
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3 + int(rng.integers(0, 3))):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    for K in (3, 4):
+        final_f, bps_f, s_eff = token_passing_fused_kn(
+            vocab, graph, batch, n_best=K, k_block=2, interpret=True
+        )
+        assert s_eff == S
+        fin = np.asarray(final_f)
+        for b, u in enumerate(utts):
+            log_b = composed_emissions(vocab, jnp.asarray(u, jnp.float32))
+            fx = np.asarray(token_passing_blocks(graph, log_b, n_best=K)[0])
+            for k in range(K):
+                ref, got = fx[:, k], fin[k, :, b]
+                finite = np.isfinite(ref)
+                assert (np.isfinite(got) == finite).all(), (K, b, k)
+                np.testing.assert_allclose(
+                    got[finite], ref[finite], rtol=2e-5, atol=1e-3
+                )
+
+    results = decode_continuous_batch(vocab, batch, n_best=3, interpret=True)
+    for b, u in enumerate(utts):
+        ref = decode_continuous(vocab, jnp.asarray(u, jnp.float32), n_best=3)
+        for (rs, rw, _), (gs, gw, _) in zip(ref, results[b]):
+            assert gw == rw, (b, gw, rw)
+            np.testing.assert_allclose(gs, rs, rtol=2e-5)
+
+
 def test_fused_decode_k2_bigram_matches_block_engine():
     """n_best=2 + BIGRAM on the fused K=2 kernel (round 4): the per-plane
     (W, W) (max, +) contraction's union top-2 (best source's both planes
