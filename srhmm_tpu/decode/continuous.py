@@ -773,10 +773,13 @@ def token_passing_fused_kn(
 ):
     """Batched general n_best=K word-loop Viterbi on the fused K-slot
     kernel (ops/pallas/decode_pallas.py word_loop_decode_kn_pallas) —
-    UNIGRAM-decomposable arcs only (bigram K>2 stays on the XLA engine;
-    K=2 callers should prefer token_passing_fused_k2).  Returns (final
-    (K, W*S, B), bps (T, K, W*S, B) int32 flat src*K + k, trimmed to
-    the original B, s_eff == S)."""
+    unigram-decomposable AND (late round 4) genuine bigram arcs, the
+    latter auto-padding state counts and gated by the (W, W, B)
+    take-counter VMEM budget (W <~ 100 at B=128; larger bigram K>2
+    graphs stay on the XLA engine).  K=2 callers should prefer
+    token_passing_fused_k2.  Returns (final (K, W*s_eff, B), bps
+    (T, K, W*s_eff, B) int32 flat src*K + k, trimmed to the original B,
+    s_eff)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_kn_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
@@ -785,13 +788,22 @@ def token_passing_fused_kn(
     if len(vocab.streams) != 1 or stream.cov_type != "diag":
         raise ValueError("token_passing_fused_kn: single diagonal stream only")
     arc = np.asarray(graph.arc, np.float64)
-    if not np.allclose(arc, arc[0:1]):
-        raise ValueError(
-            "token_passing_fused_kn: unigram-decomposable arcs only; "
-            "use token_passing_blocks for bigram K > 2"
-        )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    N = W * S
+    unigram = bool(np.allclose(arc, arc[0:1]))
+    s_eff = S
+    if not unigram:
+        # ~4 live (W, W, B) f32/int32 planes per take-counter pass
+        if W * W * 128 * 4 * 4 > 32 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused_kn: bigram (W, W, B) take-counter "
+                "working set exceeds the VMEM budget — use "
+                "token_passing_blocks"
+            )
+        if S % 8 != 0:
+            s_eff = -(-S // 8) * 8
+            vocab = _pad_vocab_states(vocab, s_eff)
+        k_block = 1
+    N = W * s_eff
     feats = batch.features
     lengths = batch.lengths
     B, T, D = feats.shape
@@ -802,21 +814,29 @@ def token_passing_fused_kn(
         lengths = jnp.pad(lengths, (0, pad_b))
 
     a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    entry_rows = np.arange(W) * S
-    arc_col = np.full((N, 1), DNEG)
-    arc_col[entry_rows, 0] = arc[0]
+    entry_rows = np.arange(W) * s_eff
+    if unigram:
+        arc_col = np.full((N, 1), DNEG)
+        arc_col[entry_rows, 0] = arc[0]
+    else:
+        arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    exit_col = None
+    if s_eff != S:
+        ec = np.full((N, 1), DNEG)
+        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        exit_col = jnp.asarray(ec, jnp.float32)
 
     feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     final, bps = word_loop_decode_kn_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
-        lengths, s_word=S, band=band, n_best=n_best, k_block=k_block,
-        interpret=interpret,
+        lengths, s_word=s_eff, band=band, n_best=n_best, k_block=k_block,
+        exit_col=exit_col, interpret=interpret,
     )
-    return final[:, :, :B], bps[:, :, :, :B], S
+    return final[:, :, :B], bps[:, :, :, :B], s_eff
 
 
 def decode_continuous_batch(
@@ -842,7 +862,8 @@ def decode_continuous_batch(
     (score, word_ids, word_spans); n_best=2 rides the fused K=2 kernel
     (token_passing_fused_k2; unigram AND bigram arcs since round 4) and
     n_best>=3 the general K-slot kernel (token_passing_fused_kn;
-    unigram arcs — bigram K>2 falls back to the per-utterance engine);
+    unigram and, for W within the VMEM gate, bigram arcs — oversized
+    bigram K>2 graphs fall back to the per-utterance engine);
     both return a list over utterances of UP TO n_best tuples, best
     first."""
     if n_best >= 2:
@@ -912,8 +933,8 @@ def _decode_batch_kn(
     n*K+k token-id space makes backtrace_batch_device directly
     reusable — transpose the (T, K, N, B) backpointers to (T, N, K, B)
     and flatten, so pointer entries and row indices share the
-    id = n*K+k encoding.  K=2 rides token_passing_fused_k2 (bigram
-    support); K>=3 the general K-slot kernel (unigram arcs)."""
+    id = n*K+k encoding.  K=2 rides token_passing_fused_k2; K>=3 the
+    general K-slot kernel."""
     K = n_best
     graph = compose_word_loop_blocks(
         vocab,

@@ -44,11 +44,19 @@ Late round 4 generalizes to ANY n_best (`word_loop_decode_kn_pallas`):
 a K-slot elementwise insertion network over the (band+1)*K within-word
 planes plus K cross-word planes, the global top-K of all N*K exit
 tokens extracted by K masked max-reductions with a per-row take
-counter (unigram arcs; bigram stays K <= 2 — its per-plane (W, W)
-contraction state grows past the VMEM budget at useful W).  Tie-breaks
+counter — per-(source, destination) for bigram arcs, whose (W, W, B)
+counter block gates eligibility to W <~ 100 at B=128.  Tie-breaks
 may differ from the XLA engine (it prefers the lowest source state,
 these kernels the shortest jump) — both are optimal paths; equality
 tests use continuous random emissions where ties have measure zero.
+
+No beam parameter, by design: beam pruning exists to SKIP work in
+sparse CPU decoders (and the XLA engines expose it for such
+experiments, token_passing/token_passing_blocks `beam=`), but these
+kernels evaluate every state on the VPU lanes regardless — a beam
+would only discard tokens (approximating the result) while saving
+zero cycles.  Dense lane-parallel Viterbi IS the pruning-free fast
+path.
 """
 
 from __future__ import annotations
@@ -634,12 +642,13 @@ def word_loop_decode_k2_pallas(
 
 # ---------------------------------------------------------------------------
 # general n_best = K (round 4): K-slot elementwise insertion network.
-# Unigram-decomposable arcs only — the destination-independent global
-# top-K of all N*K exit tokens comes from K masked max-reductions with a
-# per-row take counter (the planes are maintained sorted per state, so
-# the next-best token of a row after t takes IS plane t).  Bigram K>2
-# stays on the XLA engine (the per-plane (W, W) contraction state grows
-# as K * (W, W, B) — past the VMEM budget at useful W).
+# The global top-K of the exit-token multiset comes from K masked
+# max-reductions with a take counter (the planes are maintained sorted
+# per state, so the next-best token after t takes IS plane t) — per-row
+# for unigram arcs, per-(source, destination) over the (W, W, B)
+# candidate block for bigram (eligibility gated by that block's VMEM
+# footprint: W <~ 100 at B=128; larger bigram K>2 graphs stay on the
+# XLA engine).
 # ---------------------------------------------------------------------------
 
 
@@ -662,24 +671,31 @@ def _topk_insert(vals, ids, v, i):
 
 
 def _decode_kn_kernel(
-    n_mix, k_block, band, s_word, K,
+    n_mix, k_block, band, s_word, K, bigram,
     feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
-    len_ref,
-    bp_ref, final_ref,
-    la_ref,
+    *rest_refs,
 ):
-    """n_best=K word-loop Viterbi (unigram arcs).  Shapes as
-    _decode_k2_kernel with the plane axis K instead of 2: bp
-    (k_block, K, N, B) int32 flat src*K + k backpointers, final / la
-    (K, N, B)."""
+    """n_best=K word-loop Viterbi.  Shapes as _decode_k2_kernel with the
+    plane axis K instead of 2: bp (k_block, K, N, B) int32 flat
+    src*K + k backpointers, final / la (K, N, B).  BIGRAM: the take
+    counter generalizes to a per-(source, destination) pair (W, W, B)
+    int32 — per destination, a source word's next-best exit token after
+    t takes is its plane t, so the global top-K per destination is K
+    masked max-reductions over the (W_src, W_dst, B) candidate block."""
+    if bigram:
+        exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
+    else:
+        len_ref, bp_ref, final_ref, la_ref = rest_refs
     tb = pl.program_id(0)
     _, N, B = la_ref.shape
+    W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = exit_ref[:] > jnp.float32(-1.0)
+    is_entry = row_in_word == jnp.int32(0)
     n_within = (band + 1) * K
 
     for k in range(k_block):
@@ -726,33 +742,77 @@ def _decode_kn_kernel(
                     v = sh + diag_ref[d]
                     i = jnp.full((N, B), d * K + kk, jnp.int32)
                     vals, ids = _topk_insert(vals, ids, v, i)
-            # cross-word: global top-K of all N*K exit tokens via per-row
-            # take counters (plane t of a row is its (t+1)-th best token)
-            planes = [jnp.where(is_exit, c[kk], neg) for kk in range(K)]
-            tc = jnp.zeros((N, B), jnp.int32)
-            arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
-            for t in range(K):
-                cand = jnp.full((N, B), neg)
-                for kk in range(K - 1, -1, -1):
-                    cand = jnp.where(tc == kk, planes[kk], cand)
-                m = jnp.max(cand, axis=0, keepdims=True)  # (1, B)
-                am = jnp.min(
-                    jnp.where(cand == m, row, jnp.int32(N)),
-                    axis=0, keepdims=True,
+            # cross-word: global top-K of the exit-token multiset via take
+            # counters (the planes are maintained sorted per state, so a
+            # source's next-best token after t takes IS plane t)
+            bp_x = []
+            if bigram:
+                # per-(source, destination) take counter over the
+                # (W_src, W_dst, B) candidate block
+                e_w = [
+                    jnp.max(
+                        (c[kk] + exit_ref[:]).reshape(W, s_word, B), axis=1
+                    )
+                    for kk in range(K)
+                ]  # each (W_src, B), sorted over kk per source
+                arc3 = arc_ref[:][:, :, None]  # (W_src, W_dst, 1)
+                rows3 = jnp.broadcast_to(
+                    exitrow_ref[:][:, :, None], (W, W, B)
                 )
-                tc_sel = jnp.min(
-                    jnp.where(row == am, tc, jnp.int32(N)),
-                    axis=0, keepdims=True,
-                )
-                bp_t = am * jnp.int32(K) + tc_sel  # (1, B)
-                v = jnp.where(arc > neg, m + arc, neg)
-                vals, ids = _topk_insert(
-                    vals, ids, v, jnp.full((N, B), n_within + t, jnp.int32)
-                )
-                tc = jnp.where(row == am, tc + jnp.int32(1), tc)
-                if t == 0:
-                    bp_x = [bp_t]
-                else:
+                tc3 = jnp.zeros((W, W, B), jnp.int32)
+
+                def spread(v):
+                    return jnp.broadcast_to(
+                        v[:, None, :], (W, s_word, B)
+                    ).reshape(N, B)
+
+                for t in range(K):
+                    cand = jnp.full((W, W, B), neg)
+                    for kk in range(K - 1, -1, -1):
+                        cand = jnp.where(
+                            tc3 == kk, e_w[kk][:, None, :] + arc3, cand
+                        )
+                    m = jnp.max(cand, axis=0)  # (W_dst, B)
+                    amr = jnp.min(
+                        jnp.where(cand == m[None], rows3, jnp.int32(N)),
+                        axis=0,
+                    )  # exit ROW of the chosen source word
+                    is_ch = rows3 == amr[None]
+                    tcs = jnp.min(
+                        jnp.where(is_ch, tc3, jnp.int32(K)), axis=0
+                    )  # plane taken from the chosen source
+                    bp_t = spread(amr * jnp.int32(K) + tcs)  # (N, B)
+                    v = jnp.where(is_entry, spread(m), neg)
+                    vals, ids = _topk_insert(
+                        vals, ids, v,
+                        jnp.full((N, B), n_within + t, jnp.int32),
+                    )
+                    tc3 = jnp.where(is_ch, tc3 + jnp.int32(1), tc3)
+                    bp_x.append(bp_t)
+            else:
+                planes = [jnp.where(is_exit, c[kk], neg) for kk in range(K)]
+                tc = jnp.zeros((N, B), jnp.int32)
+                arc = arc_ref[:]  # (N, 1), NEG_INF off entry rows
+                for t in range(K):
+                    cand = jnp.full((N, B), neg)
+                    for kk in range(K - 1, -1, -1):
+                        cand = jnp.where(tc == kk, planes[kk], cand)
+                    m = jnp.max(cand, axis=0, keepdims=True)  # (1, B)
+                    am = jnp.min(
+                        jnp.where(cand == m, row, jnp.int32(N)),
+                        axis=0, keepdims=True,
+                    )
+                    tc_sel = jnp.min(
+                        jnp.where(row == am, tc, jnp.int32(N)),
+                        axis=0, keepdims=True,
+                    )
+                    bp_t = am * jnp.int32(K) + tc_sel  # (1, B)
+                    v = jnp.where(arc > neg, m + arc, neg)
+                    vals, ids = _topk_insert(
+                        vals, ids, v,
+                        jnp.full((N, B), n_within + t, jnp.int32),
+                    )
+                    tc = jnp.where(row == am, tc + jnp.int32(1), tc)
                     bp_x.append(bp_t)
 
             def bp_of(pid):
@@ -811,18 +871,26 @@ def word_loop_decode_kn_pallas(
     exit_col: jax.Array | None = None,
     interpret: bool | None = None,
 ):
-    """General n_best=K variant (unigram arc_col only): returns (final
-    (K, W*S, B), bp (T, K, W*S, B) int32 flat src*K + k).  K=2 callers
-    should prefer word_loop_decode_k2_pallas (bigram support); this
-    kernel exists for K >= 3."""
+    """General n_best=K variant: returns (final (K, W*S, B), bp
+    (T, K, W*S, B) int32 flat src*K + k).  arc_col (W*S, 1) unigram OR
+    (W, W) bigram (requires s_word % 8 == 0 — token_passing_fused_kn
+    pads states; W gated by the (W, W, B) take-counter VMEM budget).
+    K=2 callers should prefer word_loop_decode_k2_pallas; this kernel
+    exists for K >= 3."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = n_best
     T, D, B = feats_tdb.shape
     M, N, twoD = a.shape
     assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
-    assert arc_col.shape == (N, 1), "kn kernel: unigram arcs only"
     assert K >= 2
+    bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
+    if bigram:
+        assert s_word % 8 == 0, (
+            "bigram fused decode requires s_word % 8 == 0 (pad states)"
+        )
+    else:
+        assert arc_col.shape == (N, 1)
     if exit_col is None:
         rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
         exit_col = jnp.where(
@@ -830,27 +898,43 @@ def word_loop_decode_kn_pallas(
         )[:, None]
     exit_col = exit_col.astype(jnp.float32)
     assert exit_col.shape == (N, 1)
+    if bigram:
+        exit_row = (
+            jnp.argmax(
+                (exit_col[:, 0] > -1.0).reshape(N // s_word, s_word), axis=1
+            ).astype(jnp.int32)
+            + jnp.arange(N // s_word, dtype=jnp.int32) * jnp.int32(s_word)
+        )[:, None]
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
     tvm = lambda shape: pl.BlockSpec(
         shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec(
+            (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
+            memory_space=pltpu.VMEM,
+        ),
+        tvm((M, N, twoD)),
+        tvm((M, N, 1)),
+        tvm((band + 1, N, 1)),
+        tvm(arc_col.shape),
+        tvm((N, 1)),
+        tvm((N, 1)),
+    ]
+    operands = [
+        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
+        exit_col,
+    ]
+    if bigram:
+        in_specs.append(tvm((N // s_word, 1)))
+        operands.append(exit_row)
+    in_specs.append(tvm((1, B)))
+    operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_kn_kernel, M, k_block, band, s_word, K),
+        partial(_decode_kn_kernel, M, k_block, band, s_word, K, bigram),
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(
-                (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
-                memory_space=pltpu.VMEM,
-            ),
-            tvm((M, N, twoD)),
-            tvm((M, N, 1)),
-            tvm((band + 1, N, 1)),
-            tvm((N, 1)),
-            tvm((N, 1)),
-            tvm((N, 1)),
-            tvm((1, B)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (k_block, K, N, B), lambda t: (t, 0 * t, 0 * t, 0 * t),
@@ -867,8 +951,5 @@ def word_loop_decode_kn_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        exit_col, lens,
-    )
+    )(*operands)
     return final, bp

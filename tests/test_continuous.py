@@ -628,6 +628,39 @@ def test_fused_decode_kn_matches_block_engine():
             assert gw == rw, (b, gw, rw)
             np.testing.assert_allclose(gs, rs, rtol=2e-5)
 
+    # BIGRAM K=3 (late round 4): per-(source, destination) take-counter
+    # top-K — at a state count that forces the auto-padded path
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))
+    graph_b = compose_word_loop_blocks(vocab, lm_logprobs=lm)
+    assert not np.allclose(np.asarray(graph_b.arc), np.asarray(graph_b.arc)[0:1])
+    final_f, bps_f, s_eff = token_passing_fused_kn(
+        vocab, graph_b, batch, n_best=3, k_block=1, interpret=True
+    )
+    assert s_eff == 8  # padded from 4
+    fin = np.asarray(final_f).reshape(3, W, s_eff, -1)[:, :, :S]
+    for b, u in enumerate(utts):
+        log_b = composed_emissions(vocab, jnp.asarray(u, jnp.float32))
+        fx = np.asarray(
+            token_passing_blocks(graph_b, log_b, n_best=3)[0]
+        ).reshape(W, S, 3)
+        for k in range(3):
+            ref, got = fx[:, :, k], fin[k, :, :, b]
+            finite = np.isfinite(ref)
+            assert np.isfinite(got[finite]).all(), (b, k)
+            np.testing.assert_allclose(
+                got[finite], ref[finite], rtol=2e-5, atol=1e-3
+            )
+    results = decode_continuous_batch(
+        vocab, batch, lm_logprobs=lm, n_best=3, interpret=True
+    )
+    for b, u in enumerate(utts):
+        ref = decode_continuous(
+            vocab, jnp.asarray(u, jnp.float32), lm_logprobs=lm, n_best=3
+        )
+        for (rs, rw, _), (gs, gw, _) in zip(ref, results[b]):
+            assert gw == rw, (b, gw, rw)
+            np.testing.assert_allclose(gs, rs, rtol=2e-5)
+
 
 def test_fused_decode_k2_bigram_matches_block_engine():
     """n_best=2 + BIGRAM on the fused K=2 kernel (round 4): the per-plane
