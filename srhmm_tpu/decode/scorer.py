@@ -88,14 +88,17 @@ def score_batch_log(
 ) -> jax.Array:
     """Score a padded utterance batch against a stacked vocabulary.
 
-    vocab: single-stream GmmHmm with leading word axis W; batch: UtteranceBatch
-    (B, T, D).  Returns (B, W) scores — every utterance against every word in
-    one batched computation (the reference's quadruple loop R2:283-369 with
-    its 13x redundant .perfil re-reads collapses into this).
+    vocab: GmmHmm with leading word axis W; batch: UtteranceBatch (B, T, D),
+    or a tuple of per-stream UtteranceBatch objects for MULTI-STREAM
+    vocabularies (the reference reads one .perfil per stream, R2:331-339).
+    Returns (B, W) scores — every utterance against every word in one
+    batched computation (the reference's quadruple loop R2:283-369 with its
+    13x redundant .perfil re-reads collapses into this).
     """
+    batches = batch if isinstance(batch, tuple) else (batch,)
     return jax.vmap(
-        lambda f, l: _score_vocab_log(vocab, (f,), mode, l, final_states)
-    )(batch.features, batch.lengths)
+        lambda fs, l: _score_vocab_log(vocab, fs, mode, l, final_states)
+    )(tuple(b.features for b in batches), batches[0].lengths)
 
 
 def score_batch(
@@ -107,21 +110,29 @@ def score_batch(
 ) -> jax.Array:
     """Batch scoring dispatcher: the fused lane-major Pallas scoring kernel
     (ops/pallas/scoring_pallas.py — one kernel for ALL utterances x ALL
-    words, features read once) on TPU for single-stream f32 vocabularies,
-    diagonal or full covariance (full cov rides the Cholesky z-GEMM — the
-    reference's committed R1 fixture models score on the fused path), incl.
+    words, features read once) on TPU for f32 vocabularies, diagonal or
+    full covariance (full cov rides the Cholesky z-GEMM — the reference's
+    committed R1 fixture models score on the fused path), incl.
     HETEROGENEOUS padded vocabularies (pad_stack_models final_states ride
-    a per-word gather on the kernel output); score_batch_log otherwise.
-    impl: None=auto, "fused"/"xla" to force."""
+    a per-word gather on the kernel output) and MULTI-STREAM vocabularies
+    (pass `batch` as a per-stream tuple; in-kernel per-stream logsumexp
+    sum, the reference's product-of-streams scoring R2:352-358);
+    score_batch_log otherwise.  impl: None=auto, "fused"/"xla" to force."""
+    batches = batch if isinstance(batch, tuple) else (batch,)
     eligible = (
-        len(vocab.streams) == 1
+        len(vocab.streams) == len(batches)
+        and len({st.cov_type for st in vocab.streams}) == 1
         and vocab.streams[0].cov_type in ("diag", "full")
-        and getattr(batch.features, "dtype", None) == jnp.float32
+        and all(
+            getattr(b.features, "dtype", None) == jnp.float32 for b in batches
+        )
         and jax.default_backend() == "tpu"
     )
     if eligible:
         try:
-            if len(batch.features.sharding.device_set) > 1:
+            if any(
+                len(b.features.sharding.device_set) > 1 for b in batches
+            ):
                 eligible = False
         except Exception:
             eligible = False

@@ -53,8 +53,10 @@ NEG_INF = -1e30
 _TINY = 1e-38
 
 
-def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32):
-    """Packed GEMM constants for a stacked single-stream vocabulary.
+def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32, stream: int = 0):
+    """Packed GEMM constants for ONE stream of a stacked vocabulary
+    (stream index `stream`; multi-stream callers pack each stream and
+    pass tuples to vocab_scores_pallas).
 
     Returns (a, bias_g, bias, logw, diag, band) with rows ordered (w, s)
     within each plane, so a word block is a contiguous sublane slice.
@@ -81,7 +83,7 @@ def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32):
     ~1e3) produce NaNs and kill whole states (hardware-debugged)."""
     import numpy as np
 
-    stream = vocab.streams[0]
+    stream = vocab.streams[stream]
     if stream.cov_type not in (DIAG, FULL):
         raise ValueError("pack_vocab_constants: diag or full covariance")
     mu = np.asarray(stream.means, np.float64)  # (W, S, M, D)
@@ -152,77 +154,103 @@ def pack_vocab_constants(vocab: GmmHmm, dtype=jnp.float32):
     )
 
 
+def _stream_log_b(x, a_ref, bias_g_ref, bias_ref, logw_ref, n_mix, n_dim, Nb, full):
+    """Per-stream mixture log-likelihood (Nb, B) for one frame."""
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    clamp = jnp.float32(LOG_GAUS_CLAMP)
+    qs = []
+    if full:
+        # Cholesky z sum-of-squares (module docstring); one
+        # (D*M*Nb_pad, D) x (D, B) GEMM, then the all-positive
+        # d-slice accumulation.  Every slice offset is a multiple of
+        # the 8-sublane tile: each (d, m) plane is padded to nb_pad
+        # rows host-side (vocab_scores_pallas) — misaligned sublane
+        # slice offsets miscompile on Mosaic (hardware-debugged:
+        # offsets at multiples of 78 returned wrong scores while the
+        # interpreter was exact).  The 1e20 clamp sits between
+        # density and weight (calc_gaus R1:946-949 ->
+        # calc_symbol_probab R1:869).
+        nb_pad = a_ref.shape[1] // (n_dim * n_mix)
+        z = (
+            jnp.dot(a_ref[0], x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            + bias_g_ref[0]
+        )  # (D*M*nb_pad, B)
+        z2 = z * z
+        mnbp = n_mix * nb_pad
+        quad = z2[0:mnbp]
+        for d in range(1, n_dim):
+            quad = quad + z2[d * mnbp : (d + 1) * mnbp]
+        for m in range(n_mix):
+            qm = (
+                jnp.float32(-0.5) * quad[m * nb_pad : m * nb_pad + Nb]
+                + bias_ref[m]
+            )
+            qs.append(jnp.minimum(qm, clamp) + logw_ref[m])
+    else:
+        lift = jnp.concatenate([x, x * x], axis=0)
+        for m in range(n_mix):
+            qs.append(
+                jnp.dot(
+                    a_ref[m], lift,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + bias_ref[m]
+            )
+    m_s = jnp.maximum(qs[0], neg)
+    for m in range(1, n_mix):
+        m_s = jnp.maximum(m_s, qs[m])
+    e = jnp.exp(qs[0] - m_s)
+    for m in range(1, n_mix):
+        e = e + jnp.exp(qs[m] - m_s)
+    return jnp.log(jnp.maximum(e, tiny)) + m_s  # (Nb, B)
+
+
 def _score_kernel(
-    n_mix, n_dim, k_block, band, s_word, semiring, full,
-    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, len_ref,
-    out_ref,
-    la_ref,
+    n_mixs, n_dims, k_block, band, s_word, semiring, full,
+    *refs,
 ):
-    """Grid (word_blocks, time_blocks), time innermost.  Block shapes:
-    feats (k_block, D, B); a (M, Nb, 2D) diag | (1, D*M*Nb, D) full
-    (d-major rows, the fused_em_pallas._emission_q layout: ONE MXU GEMM
-    per frame, quad accumulated over the D contiguous (M*Nb, B) slices);
-    bias_g (1, D*M*Nb, 1) full; bias (M, Nb, 1); logw (M, Nb, 1) full;
-    diag (band+1, Nb, 1); out (Nb, B); scratch la (Nb, B)."""
+    """Grid (word_blocks, time_blocks), time innermost.  One or more
+    parameter STREAMS (the reference's product-of-streams scoring,
+    R2:352-358 — per-stream mixture logsumexps SUM into one log_b).
+    refs: per-stream feats (k_block, D_p, B); per-stream a (M_p, Nb, 2D_p)
+    diag | (1, D_p*M_p*Nb_pad, D_p) full (d-major rows, the
+    fused_em_pallas._emission_q layout: ONE MXU GEMM per frame, quad
+    accumulated over the D contiguous (M*Nb, B) slices); per-stream
+    bias_g (full); per-stream bias (M_p, Nb, 1); per-stream logw (full);
+    then diag (band+1, Nb, 1); len (1, B); out (Nb, B); scratch la
+    (Nb, B)."""
+    P = len(n_mixs)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    diag_ref = refs[5 * P]
+    len_ref = refs[5 * P + 1]
+    out_ref = refs[5 * P + 2]
+    la_ref = refs[5 * P + 3]
     tb = pl.program_id(1)
     Nb = la_ref.shape[0]
     B = la_ref.shape[1]
     lens = len_ref[:]  # (1, B)
     neg = jnp.float32(NEG_INF)
     tiny = jnp.float32(_TINY)
-    clamp = jnp.float32(LOG_GAUS_CLAMP)
     row_in_word = jax.lax.broadcasted_iota(jnp.int32, (Nb, B), 0) % jnp.int32(
         s_word
     )
 
     for k in range(k_block):
-        x = feats_ref[k]  # (D, B)
-        qs = []
-        if full:
-            # Cholesky z sum-of-squares (module docstring); one
-            # (D*M*Nb_pad, D) x (D, B) GEMM, then the all-positive
-            # d-slice accumulation.  Every slice offset is a multiple of
-            # the 8-sublane tile: each (d, m) plane is padded to nb_pad
-            # rows host-side (vocab_scores_pallas) — misaligned sublane
-            # slice offsets miscompile on Mosaic (hardware-debugged:
-            # offsets at multiples of 78 returned wrong scores while the
-            # interpreter was exact).  The 1e20 clamp sits between
-            # density and weight (calc_gaus R1:946-949 ->
-            # calc_symbol_probab R1:869).
-            nb_pad = a_ref.shape[1] // (n_dim * n_mix)
-            z = (
-                jnp.dot(a_ref[0], x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-                + bias_g_ref[0]
-            )  # (D*M*nb_pad, B)
-            z2 = z * z
-            mnbp = n_mix * nb_pad
-            quad = z2[0:mnbp]
-            for d in range(1, n_dim):
-                quad = quad + z2[d * mnbp : (d + 1) * mnbp]
-            for m in range(n_mix):
-                qm = (
-                    jnp.float32(-0.5) * quad[m * nb_pad : m * nb_pad + Nb]
-                    + bias_ref[m]
-                )
-                qs.append(jnp.minimum(qm, clamp) + logw_ref[m])
-        else:
-            lift = jnp.concatenate([x, x * x], axis=0)
-            for m in range(n_mix):
-                qs.append(
-                    jnp.dot(
-                        a_ref[m], lift,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    + bias_ref[m]
-                )
-        m_s = jnp.maximum(qs[0], neg)
-        for m in range(1, n_mix):
-            m_s = jnp.maximum(m_s, qs[m])
-        e = jnp.exp(qs[0] - m_s)
-        for m in range(1, n_mix):
-            e = e + jnp.exp(qs[m] - m_s)
-        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (Nb, B)
+        log_b = None
+        for p in range(P):
+            lb_p = _stream_log_b(
+                feats_refs[p][k], a_refs[p], bias_g_refs[p], bias_refs[p],
+                logw_refs[p], n_mixs[p], n_dims[p], Nb, full,
+            )
+            log_b = lb_p if log_b is None else log_b + lb_p
+        # (Nb, B); the recursion's maximum(. , neg) clamps any
+        # multi-stream sum underflow
 
         def first():
             start = jnp.where(row_in_word == 0, jnp.float32(0.0), neg)
@@ -271,11 +299,11 @@ def _score_kernel(
 
 @partial(jax.jit, static_argnames=("k_block", "w_block", "band", "s_word", "semiring", "interpret"))
 def vocab_scores_pallas(
-    feats_tdb: jax.Array,
-    a: jax.Array,
-    bias_g: jax.Array,
-    bias: jax.Array,
-    logw: jax.Array,
+    feats_tdb,
+    a,
+    bias_g,
+    bias,
+    logw,
     diag: jax.Array,
     lengths: jax.Array,
     s_word: int,
@@ -292,15 +320,33 @@ def vocab_scores_pallas(
     semiring: "sum" = forward scores (reference scoring); "max" = Viterbi.
     w_block: words per grid block (None = whole vocabulary in one block).
     The covariance type is inferred from a's plane width (2D diag, D full).
-    """
+    MULTI-STREAM (the reference's product-of-streams scoring,
+    R2:352-358): pass tuples for feats_tdb / a / bias_g / bias / logw —
+    one entry per stream, homogeneous cov type, shared diag."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    T, D, B = feats_tdb.shape
-    n_planes, N, a_w = a.shape
-    assert a_w in (2 * D, D) and T % k_block == 0
-    full = a_w == D and a_w != 2 * D
-    M = n_planes // D if full else n_planes
-    assert N % s_word == 0
+    multi = isinstance(a, tuple)
+    featss = feats_tdb if isinstance(feats_tdb, tuple) else (feats_tdb,)
+    a_s = a if multi else (a,)
+    bias_gs = bias_g if multi else (bias_g,)
+    biass = bias if multi else (bias,)
+    logws = logw if multi else (logw,)
+    P = len(a_s)
+    T, _, B = featss[0].shape
+    ds = tuple(f.shape[1] for f in featss)
+    N = a_s[0].shape[1]
+    fulls = []
+    ms = []
+    for p in range(P):
+        n_planes, n_p, a_w = a_s[p].shape
+        assert n_p == N and a_w in (2 * ds[p], ds[p])
+        fp = a_w == ds[p] and a_w != 2 * ds[p]
+        fulls.append(fp)
+        ms.append(n_planes // ds[p] if fp else n_planes)
+    assert len(set(fulls)) == 1, "homogeneous covariance across streams"
+    full = fulls[0]
+    ms = tuple(ms)
+    assert T % k_block == 0 and N % s_word == 0
     W = N // s_word
     if w_block is None:
         w_block = W
@@ -310,74 +356,118 @@ def vocab_scores_pallas(
     nt = T // k_block
     lens = lengths.astype(jnp.float32).reshape(1, B)
 
-    if full:
-        # regroup the (M*D, N, D) planes into per-word-block d-major GEMM
-        # matrices (_score_kernel docstring): a6[wb, (d*M + m)*nb_pad + n,
-        # e] = a[m*D + d, wb*Nb + n, e], each (d, m) plane zero-padded to
-        # nb_pad = 8-sublane-aligned rows (misaligned slice offsets
-        # miscompile on Mosaic) — host-side constant shuffle, traced once
-        # per jit
-        nb_pad = -(-Nb // 8) * 8
-        a5 = jnp.transpose(a.reshape(M, D, nw, Nb, D), (2, 1, 0, 3, 4))
-        a5 = jnp.pad(a5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
-        a = a5.reshape(nw, D * M * nb_pad, D)
-        bg5 = jnp.transpose(bias_g.reshape(M, D, nw, Nb, 1), (2, 1, 0, 3, 4))
-        bg5 = jnp.pad(bg5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
-        bias_g = bg5.reshape(nw, D * M * nb_pad, 1)
-        a_spec = pl.BlockSpec(
-            (1, D * M * nb_pad, D),
-            lambda wb, tb: (wb, 0 * wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
-        bias_g_spec = pl.BlockSpec(
-            (1, D * M * nb_pad, 1),
-            lambda wb, tb: (wb, 0 * wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        a_spec = pl.BlockSpec(
-            (M, Nb, a_w),
-            lambda wb, tb: (0 * wb, wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
-        bias_g_spec = pl.BlockSpec(
-            bias_g.shape,
-            lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
-    logw_spec = (
-        pl.BlockSpec(
-            (M, Nb, 1),
-            lambda wb, tb: (0 * wb, wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
-        if full
-        else pl.BlockSpec(
-            logw.shape,
-            lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
-            memory_space=pltpu.VMEM,
-        )
+    a_specs, bias_g_specs, logw_specs = [], [], []
+    a_ops, bias_g_ops = [], []
+    for p in range(P):
+        ap, bgp, D, M = a_s[p], bias_gs[p], ds[p], ms[p]
+        if full:
+            # regroup the (M*D, N, D) planes into per-word-block d-major
+            # GEMM matrices (_score_kernel docstring): a6[wb,
+            # (d*M + m)*nb_pad + n, e] = a[m*D + d, wb*Nb + n, e], each
+            # (d, m) plane zero-padded to nb_pad = 8-sublane-aligned rows
+            # (misaligned slice offsets miscompile on Mosaic) — host-side
+            # constant shuffle, traced once per jit
+            nb_pad = -(-Nb // 8) * 8
+            a5 = jnp.transpose(ap.reshape(M, D, nw, Nb, D), (2, 1, 0, 3, 4))
+            a5 = jnp.pad(a5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
+            a_ops.append(a5.reshape(nw, D * M * nb_pad, D))
+            bg5 = jnp.transpose(bgp.reshape(M, D, nw, Nb, 1), (2, 1, 0, 3, 4))
+            bg5 = jnp.pad(bg5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - Nb), (0, 0)))
+            bias_g_ops.append(bg5.reshape(nw, D * M * nb_pad, 1))
+            a_specs.append(
+                pl.BlockSpec(
+                    (1, D * M * nb_pad, D),
+                    lambda wb, tb: (wb, 0 * wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            bias_g_specs.append(
+                pl.BlockSpec(
+                    (1, D * M * nb_pad, 1),
+                    lambda wb, tb: (wb, 0 * wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            logw_specs.append(
+                pl.BlockSpec(
+                    (M, Nb, 1),
+                    lambda wb, tb: (0 * wb, wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:
+            a_ops.append(ap)
+            bias_g_ops.append(bgp)
+            a_specs.append(
+                pl.BlockSpec(
+                    (M, Nb, 2 * D),
+                    lambda wb, tb: (0 * wb, wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            bias_g_specs.append(
+                pl.BlockSpec(
+                    bgp.shape,
+                    lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            logw_specs.append(
+                pl.BlockSpec(
+                    logws[p].shape,
+                    lambda wb, tb: (0 * wb, 0 * wb, 0 * wb),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    # NOTE: index maps must not return Python-int literals — under
+    # jax_enable_x64 they become i64 and Mosaic cannot legalize the
+    # index function's return; derive zeros from the i32 grid ids
+    in_specs = (
+        [
+            pl.BlockSpec(
+                (k_block, d, B), lambda wb, tb: (tb, 0 * tb, 0 * tb),
+                memory_space=pltpu.VMEM,
+            )
+            for d in ds
+        ]
+        + a_specs
+        + bias_g_specs
+        + [
+            pl.BlockSpec(
+                (ms[p], Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb),
+                memory_space=pltpu.VMEM,
+            )
+            for p in range(P)
+        ]
+        + logw_specs
+        + [
+            pl.BlockSpec(
+                (band + 1, Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, B), lambda wb, tb: (0 * wb, 0 * wb),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
     )
     return pl.pallas_call(
-        partial(_score_kernel, M, D, k_block, band, s_word, semiring, full),
+        partial(_score_kernel, ms, ds, k_block, band, s_word, semiring, full),
         grid=(nw, nt),
-        in_specs=[
-            # NOTE: index maps must not return Python-int literals — under
-            # jax_enable_x64 they become i64 and Mosaic cannot legalize the
-            # index function's return; derive zeros from the i32 grid ids
-            pl.BlockSpec((k_block, D, B), lambda wb, tb: (tb, 0 * tb, 0 * tb), memory_space=pltpu.VMEM),
-            a_spec,
-            bias_g_spec,
-            pl.BlockSpec((M, Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb), memory_space=pltpu.VMEM),
-            logw_spec,
-            pl.BlockSpec((band + 1, Nb, 1), lambda wb, tb: (0 * wb, wb, 0 * wb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda wb, tb: (0 * wb, 0 * wb), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Nb, B), lambda wb, tb: (wb, 0 * wb), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Nb, B), jnp.float32)],
         interpret=interpret,
-    )(feats_tdb.astype(jnp.float32), a, bias_g, bias, logw, diag, lens)
+    )(
+        *[f.astype(jnp.float32) for f in featss],
+        *a_ops,
+        *bias_g_ops,
+        *biass,
+        *logws,
+        diag,
+        lens,
+    )
 
 
 def score_batch_fused_lane(
@@ -406,38 +496,66 @@ def score_batch_fused_lane(
     states_number across .hmm models (recognition-fs:201-245).
     Any (B, T) is accepted: lanes zero-pad to the 128 tile and time to the
     k_block tile (padded lanes return -inf scores and are sliced off).
+    MULTI-STREAM vocabularies (the reference's product-of-streams scoring,
+    R2:352-358): pass `batch` as a tuple of per-stream UtteranceBatch
+    objects (shared lengths, one feature set per stream — the reference
+    reads one .perfil per stream, R2:331-339); per-stream mixture
+    logsumexps sum in-kernel.  Homogeneous covariance across streams.
     """
-    stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type not in (DIAG, FULL):
-        raise ValueError("score_batch_fused_lane: single-stream diag/full only")
-    full = stream.cov_type == FULL
+    P = len(vocab.streams)
+    for st in vocab.streams:
+        if st.cov_type not in (DIAG, FULL):
+            raise ValueError("score_batch_fused_lane: diag/full covariance only")
+    if len({st.cov_type for st in vocab.streams}) != 1:
+        raise ValueError("score_batch_fused_lane: homogeneous covariance only")
+    full = vocab.streams[0].cov_type == FULL
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
-    M = stream.num_mixtures
-    feats = batch.features
-    lengths = batch.lengths
-    B, T, D = feats.shape
+    batches = batch if isinstance(batch, tuple) else (batch,)
+    if len(batches) != P:
+        raise ValueError(
+            f"score_batch_fused_lane: {P} streams need {P} feature batches"
+        )
+    featss = [b.features for b in batches]
+    lengths = batches[0].lengths
+    B, T, _ = featss[0].shape
     if w_block is None:
-        # keep the per-frame working set (M q-planes of (Nb, B)) modest:
-        # larger blocks inflate Mosaic compile time and VMEM pressure
-        target = max(1, 512 // (S * max(M, 1)))
+        # keep the per-frame working set (sum-M q-planes of (Nb, B))
+        # modest: larger blocks inflate Mosaic compile time and VMEM
+        # pressure
+        m_sum = sum(max(st.num_mixtures, 1) for st in vocab.streams)
+        target = max(1, 512 // (S * m_sum))
         w_block = max(d for d in range(1, W + 1) if W % d == 0 and d <= target)
     # Mosaic compile time scales with the statically-unrolled op count
-    # ~ k_block * Nb * M; cap near the measured-fast regime (~2.5k).  The
-    # full-cov path is ONE GEMM per frame (d-major layout) plus D vector
-    # adds — roughly twice a diag plane's op weight
-    unroll_planes = max(M, 1) * (2 if full else 1)
+    # ~ k_block * Nb * sum(M); cap near the measured-fast regime (~2.5k).
+    # The full-cov path is ONE GEMM per frame (d-major layout) plus D
+    # vector adds — roughly twice a diag plane's op weight
+    unroll_planes = sum(max(st.num_mixtures, 1) for st in vocab.streams) * (
+        2 if full else 1
+    )
     while k_block > 8 and k_block * w_block * S * unroll_planes > 4096:
         k_block //= 2
     # pad lanes/time instead of shrinking the unroll below the tile
     pad_b = (-B) % 128
     pad_t = (-T) % k_block
     if pad_b or pad_t:
-        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        featss = [
+            jnp.pad(f, ((0, pad_b), (0, pad_t), (0, 0))) for f in featss
+        ]
         lengths = jnp.pad(lengths, (0, pad_b))
-    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
+    packs = [
+        pack_vocab_constants(vocab, jnp.float32, stream=p) for p in range(P)
+    ]
+    band = packs[0][5]
+    feats_tdb = tuple(
+        jnp.transpose(f.astype(jnp.float32), (1, 2, 0)) for f in featss
+    )
+    if P == 1:
+        feats_tdb = feats_tdb[0]
+        args = packs[0][:4]
+    else:
+        args = tuple(tuple(pk[i] for pk in packs) for i in range(4))
     la = vocab_scores_pallas(
-        feats_tdb, a, bias_g, bias, logw, diag, lengths, s_word=S, band=band,
+        feats_tdb, *args, packs[0][4], lengths, s_word=S, band=band,
         k_block=k_block, w_block=w_block, semiring=semiring,
         interpret=interpret,
     )  # (W*S, B_padded)

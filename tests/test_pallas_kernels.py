@@ -595,3 +595,78 @@ def test_fused_vocab_scoring_reference_fixture_models(reference_root):
     # real speech scale: |scores| ~ 5-9e3 nats; f32 recursion keeps ~1e-4 rel
     np.testing.assert_allclose(got, ref, rtol=3e-4)
     assert (got.argmax(1) == ref.argmax(1)).all()
+
+
+@pytest.mark.parametrize("cov", ["diag", "full"])
+def test_fused_vocab_scoring_multi_stream_matches_xla(cov):
+    """MULTI-STREAM fused scoring (late round 4): per-stream mixture
+    logsumexps sum in-kernel (the reference's product-of-streams scoring,
+    R2:352-358 — one .perfil per stream, R2:331-339).  Both covariance
+    types, both scoring modes, vs score_batch_log on a per-stream batch
+    tuple; plus the score_batch dispatcher routes tuples."""
+    from srhmm_tpu.decode.scorer import score_batch, score_batch_log
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import FULL, GmmHmm, stack_models
+    from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+    rng = np.random.default_rng(3)
+    W, S = 5, 6
+
+    def mk_stream(r, M, D):
+        means = r.normal(size=(S, M, D)) * 2.0
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        if cov == "full":
+            a_rnd = r.normal(size=(S, M, D, D)) * 0.3
+            covm = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(D)[None, None]
+            return GmmStream(
+                weights=jnp.asarray(w),
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(np.linalg.inv(covm)),
+                det=jnp.asarray(np.linalg.det(covm)),
+                cov_type=FULL,
+            )
+        var = r.uniform(0.5, 1.5, size=(S, M, D))
+        return GmmStream(
+            weights=jnp.asarray(w),
+            means=jnp.asarray(means),
+            inv_cov=jnp.asarray(1.0 / var),
+            det=jnp.asarray(np.prod(var, -1)),
+            cov_type=DIAG,
+        )
+
+    models = []
+    for i in range(W):
+        r = np.random.default_rng(100 + i)
+        models.append(
+            GmmHmm(
+                trans=init_left_right_trans(S),
+                streams=(mk_stream(r, 3, 9), mk_stream(r, 2, 3)),
+                word=f"w{i}",
+            )
+        )
+    vocab = stack_models(models).astype(jnp.float32)
+    b1 = pack_utterances(
+        [rng.normal(size=(50 + 7 * i, 9)) for i in range(4)],
+        pad_multiple=8, dtype=jnp.float32,
+    )
+    b2 = pack_utterances(
+        [rng.normal(size=(50 + 7 * i, 3)) for i in range(4)],
+        pad_multiple=8, dtype=jnp.float32,
+    )
+    for mode in ("total", "final"):
+        ref = np.asarray(score_batch_log(vocab, (b1, b2), mode=mode))
+        got = np.asarray(
+            score_batch_fused_lane(vocab, (b1, b2), mode=mode, interpret=True)
+        )
+        finite = np.isfinite(ref)
+        assert (np.isfinite(got) == finite).all(), (cov, mode)
+        np.testing.assert_allclose(
+            got[finite], ref[finite], rtol=1e-4,
+            atol=1e-5 * np.abs(ref[finite]).max(),
+        )
+    # the dispatcher accepts the tuple form (falls back to XLA off-TPU)
+    via = np.asarray(score_batch(vocab, (b1, b2), mode="total"))
+    ref = np.asarray(score_batch_log(vocab, (b1, b2), mode="total"))
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(via[finite], ref[finite], rtol=1e-4)
