@@ -635,8 +635,18 @@ def token_passing_fused(
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
     stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type != "diag":
-        raise ValueError("token_passing_fused: single diagonal stream only")
+    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
+        raise ValueError("token_passing_fused: single diag/full-cov stream only")
+    if stream.cov_type == "full":
+        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
+        # planes) must fit VMEM next to the carries/backpointer window
+        _D, _M = stream.dim, stream.num_mixtures
+        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
+        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused: full-cov z-GEMM working set exceeds the VMEM "
+                "budget — use the XLA engine"
+            )
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     unigram = bool(np.allclose(arc, arc[0:1]))
@@ -660,7 +670,9 @@ def token_passing_fused(
         feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad_b))
 
-    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    if stream.cov_type != "full":
+        bias_g = logw = None
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -681,7 +693,7 @@ def token_passing_fused(
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
         lengths, s_word=s_eff, band=band, k_block=k_block,
-        exit_col=exit_col, interpret=interpret,
+        exit_col=exit_col, bias_g=bias_g, logw=logw, interpret=interpret,
     )
     return final[:, :B], bps[:, :, :B], s_eff
 
@@ -705,8 +717,18 @@ def token_passing_fused_k2(
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
     stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type != "diag":
-        raise ValueError("token_passing_fused_k2: single diagonal stream only")
+    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
+        raise ValueError("token_passing_fused_k2: single diag/full-cov stream only")
+    if stream.cov_type == "full":
+        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
+        # planes) must fit VMEM next to the carries/backpointer window
+        _D, _M = stream.dim, stream.num_mixtures
+        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
+        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused_k2: full-cov z-GEMM working set exceeds the VMEM "
+                "budget — use the XLA engine"
+            )
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     unigram = bool(np.allclose(arc, arc[0:1]))
@@ -737,7 +759,9 @@ def token_passing_fused_k2(
         feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad_b))
 
-    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    if stream.cov_type != "full":
+        bias_g = logw = None
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -758,7 +782,7 @@ def token_passing_fused_k2(
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
         lengths, s_word=s_eff, band=band, k_block=k_block,
-        exit_col=exit_col, interpret=interpret,
+        exit_col=exit_col, bias_g=bias_g, logw=logw, interpret=interpret,
     )
     return final[:, :, :B], bps[:, :, :, :B], s_eff
 
@@ -785,8 +809,18 @@ def token_passing_fused_kn(
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
     stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type != "diag":
-        raise ValueError("token_passing_fused_kn: single diagonal stream only")
+    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
+        raise ValueError("token_passing_fused_kn: single diag/full-cov stream only")
+    if stream.cov_type == "full":
+        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
+        # planes) must fit VMEM next to the carries/backpointer window
+        _D, _M = stream.dim, stream.num_mixtures
+        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
+        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
+            raise ValueError(
+                "token_passing_fused_kn: full-cov z-GEMM working set exceeds the VMEM "
+                "budget — use the XLA engine"
+            )
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     unigram = bool(np.allclose(arc, arc[0:1]))
@@ -813,7 +847,9 @@ def token_passing_fused_kn(
         feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad_b))
 
-    a, _bg, bias, _lw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
+    if stream.cov_type != "full":
+        bias_g = logw = None
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -834,7 +870,7 @@ def token_passing_fused_kn(
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
         lengths, s_word=s_eff, band=band, n_best=n_best, k_block=k_block,
-        exit_col=exit_col, interpret=interpret,
+        exit_col=exit_col, bias_g=bias_g, logw=logw, interpret=interpret,
     )
     return final[:, :, :B], bps[:, :, :, :B], s_eff
 

@@ -68,17 +68,116 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_em_pallas import LOG_GAUS_CLAMP
+
 NEG_INF = -1e30
 _TINY = 1e-38
 
 
+def _frame_log_b(x, a_ref, bias_g_ref, bias_ref, logw_ref, n_mix, n_dim, N, full):
+    """Per-frame composed-emission log-likelihoods (N, B).
+
+    diag: M (N, 2D) x (2D, B) GEMMs with a RUNNING mixture logsumexp —
+    at most two live (N, B) temporaries instead of M q-planes (the carry
+    + backpointer block leave only a few MB of VMEM headroom at W=200;
+    hardware OOM'd at 22.4M/16M with the M-plane formulation).  full:
+    the scoring kernel's Cholesky z sum-of-squares (ONE d-major
+    (D*M*nb_pad, D) x (D, B) GEMM; scoring_pallas module docstring) with
+    the reference's 1e20 density clamp between density and weight."""
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    m_s = None
+    e = None
+    if full:
+        clamp = jnp.float32(LOG_GAUS_CLAMP)
+        nb_pad = a_ref.shape[1] // (n_dim * n_mix)
+        z = (
+            jnp.dot(
+                a_ref[0], x,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + bias_g_ref[0]
+        )  # (D*M*nb_pad, B)
+        z2 = z * z
+        mnbp = n_mix * nb_pad
+        quad = z2[0:mnbp]
+        for d in range(1, n_dim):
+            quad = quad + z2[d * mnbp : (d + 1) * mnbp]
+        for m in range(n_mix):
+            qm = (
+                jnp.float32(-0.5) * quad[m * nb_pad : m * nb_pad + N]
+                + bias_ref[m]
+            )
+            q = jnp.minimum(qm, clamp) + logw_ref[m]
+            if m == 0:
+                m_s = jnp.maximum(q, neg)
+                e = jnp.exp(q - m_s)
+            else:
+                new_m = jnp.maximum(m_s, q)
+                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
+                m_s = new_m
+    else:
+        lift = jnp.concatenate([x, x * x], axis=0)
+        for m in range(n_mix):
+            q = (
+                jnp.dot(
+                    a_ref[m], lift,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                + bias_ref[m]
+            )
+            if m == 0:
+                m_s = jnp.maximum(q, neg)
+                e = jnp.exp(q - m_s)
+            else:
+                new_m = jnp.maximum(m_s, q)
+                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
+                m_s = new_m
+    return jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+
+
+def _emission_operands(a, bias_g, logw, D):
+    """Normalize the emission constants for the decode kernels: detect the
+    covariance type from a's plane width (2D diag, D full), regroup the
+    full-cov (M*D, N, D) planes into the d-major single-GEMM layout
+    (1, D*M*nb_pad, D) with 8-sublane-aligned (d, m) plane offsets
+    (the scoring kernel's hardware-debugged requirement), and supply
+    (1, 1, 1) dummies for the diag path's unused bias_g/logw operands.
+    Returns (full, M, a_op, bias_g_op, logw_op)."""
+    planes, N, a_w = a.shape
+    full = a_w == D and a_w != 2 * D
+    if full:
+        assert bias_g is not None and logw is not None
+        M = planes // D
+        nb_pad = -(-N // 8) * 8
+        a5 = jnp.transpose(a.reshape(M, D, 1, N, D), (2, 1, 0, 3, 4))
+        a5 = jnp.pad(a5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - N), (0, 0)))
+        a_op = a5.reshape(1, D * M * nb_pad, D)
+        bg5 = jnp.transpose(bias_g.reshape(M, D, 1, N, 1), (2, 1, 0, 3, 4))
+        bg5 = jnp.pad(bg5, ((0, 0), (0, 0), (0, 0), (0, nb_pad - N), (0, 0)))
+        bg_op = bg5.reshape(1, D * M * nb_pad, 1)
+        lw_op = logw
+    else:
+        assert a_w == 2 * D
+        M = planes
+        a_op = a
+        bg_op = jnp.zeros((1, 1, 1), jnp.float32)
+        lw_op = jnp.zeros((1, 1, 1), jnp.float32)
+    return full, M, a_op, bg_op, lw_op
+
+
 def _decode_kernel(
-    n_mix, k_block, band, s_word, bigram,
-    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    n_mix, n_dim, k_block, band, s_word, bigram, full,
+    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
+    entry_ref, exit_ref,
     *rest_refs,
 ):
     """Grid: ascending time blocks.  Block shapes: feats (k_block, D, B);
-    a (M, N, 2D); bias (M, N, 1); diag (band+1, N, 1); arc: (N, 1)
+    a (M, N, 2D) diag | (1, D*M*nb_pad, D) full (the scoring kernel's
+    d-major z-GEMM layout); bias_g / logw: full-cov operands ((1, 1, 1)
+    dummies for diag); bias (M, N, 1); diag (band+1, N, 1); arc: (N, 1)
     per-destination cross-arc weight at entry rows (unigram) or (W, W)
     full bigram arc matrix; entry (N, 1) initial score at entry rows,
     NEG_INF elsewhere; exit (N, 1) additive exit mask (0.0 at each word's
@@ -97,38 +196,16 @@ def _decode_kernel(
     W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
-    tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = exit_ref[:] > jnp.float32(-1.0)  # (N, 1) bool, broadcasts
     is_entry = row_in_word == jnp.int32(0)
 
     for k in range(k_block):
-        x = feats_ref[k]  # (D, B)
-        lift = jnp.concatenate([x, x * x], axis=0)
-        # RUNNING mixture logsumexp: at most two live (N, B) temporaries
-        # instead of M q-planes — the carry + backpointer block leave only
-        # a few MB of VMEM headroom at W=200 (hardware OOM'd at 22.4M/16M
-        # with the M-plane formulation)
-        m_s = None
-        e = None
-        for m in range(n_mix):
-            q = (
-                jnp.dot(
-                    a_ref[m], lift,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                + bias_ref[m]
-            )
-            if m == 0:
-                m_s = jnp.maximum(q, neg)
-                e = jnp.exp(q - m_s)
-            else:
-                new_m = jnp.maximum(m_s, q)
-                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
-                m_s = new_m
-        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+        log_b = _frame_log_b(
+            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
+            n_mix, n_dim, N, full,
+        )
 
         def first():
             return jnp.maximum(entry_ref[:] + log_b, neg), row
@@ -219,12 +296,16 @@ def word_loop_decode_pallas(
     band: int,
     k_block: int = 4,
     exit_col: jax.Array | None = None,
+    bias_g: jax.Array | None = None,
+    logw: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """(T, D, B) features + packed constants -> (final (W*S, B) scores,
     bp (T, W*S, B) int32 source-row backpointers; bp[0] is the identity).
 
-    a/bias/diag: pack_vocab_constants (diagonal covariance); arc_col:
+    a/bias/diag: pack_vocab_constants — diagonal OR (late round 4) FULL
+    covariance, the latter passing pack's bias_g/logw and riding the
+    scoring kernel's d-major Cholesky z-GEMM; arc_col:
     (W*S, 1) per-destination cross-arc weight at entry rows (unigram) OR
     (W, W) full bigram arc matrix (requires s_word % 8 == 0 — callers
     with other state counts pad states and pass exit_col, as
@@ -235,8 +316,9 @@ def word_loop_decode_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
-    M, N, twoD = a.shape
-    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    N = a.shape[1]
+    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    assert N % s_word == 0 and T % k_block == 0
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
     if bigram:
         assert s_word % 8 == 0, (
@@ -267,16 +349,18 @@ def word_loop_decode_pallas(
     )
     in_specs = [
         tblk((k_block, D, B)),
-        tvm((M, N, twoD)),
+        tvm(a_op.shape),
+        tvm(bias_g_op.shape),
         tvm((M, N, 1)),
+        tvm(logw_op.shape),
         tvm((band + 1, N, 1)),
         tvm(arc_col.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
     operands = [
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        exit_col,
+        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
+        diag, arc_col, entry_col, exit_col,
     ]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
@@ -284,7 +368,7 @@ def word_loop_decode_pallas(
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_kernel, M, k_block, band, s_word, bigram),
+        partial(_decode_kernel, M, D, k_block, band, s_word, bigram, full),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[
@@ -329,8 +413,9 @@ def _top2_fold(state, v, i):
 
 
 def _decode_k2_kernel(
-    n_mix, k_block, band, s_word, bigram,
-    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    n_mix, n_dim, k_block, band, s_word, bigram, full,
+    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
+    entry_ref, exit_ref,
     *rest_refs,
 ):
     """n_best=2 word-loop Viterbi.  Shapes as _decode_kernel except:
@@ -350,7 +435,6 @@ def _decode_k2_kernel(
     W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
-    tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = exit_ref[:] > jnp.float32(-1.0)  # (N, 1) bool, broadcasts
@@ -358,27 +442,10 @@ def _decode_k2_kernel(
     n_within = 2 * (band + 1)
 
     for k in range(k_block):
-        x = feats_ref[k]
-        lift = jnp.concatenate([x, x * x], axis=0)
-        m_s = None
-        e = None
-        for m in range(n_mix):
-            q = (
-                jnp.dot(
-                    a_ref[m], lift,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                + bias_ref[m]
-            )
-            if m == 0:
-                m_s = jnp.maximum(q, neg)
-                e = jnp.exp(q - m_s)
-            else:
-                new_m = jnp.maximum(m_s, q)
-                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
-                m_s = new_m
-        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+        log_b = _frame_log_b(
+            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
+            n_mix, n_dim, N, full,
+        )
 
         def first():
             b0 = jnp.maximum(entry_ref[:] + log_b, neg)
@@ -557,18 +624,22 @@ def word_loop_decode_k2_pallas(
     band: int,
     k_block: int = 4,
     exit_col: jax.Array | None = None,
+    bias_g: jax.Array | None = None,
+    logw: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """n_best=2 variant of word_loop_decode_pallas: returns (final
     (2, W*S, B), bp (T, 2, W*S, B) int32 flat src*2+k).  arc_col
     (W*S, 1) unigram OR (W, W) bigram (requires s_word % 8 == 0 — the
     token_passing_fused_k2 wrapper pads states); exit_col as in
-    word_loop_decode_pallas (per-word exit-row mask)."""
+    word_loop_decode_pallas (per-word exit-row mask); bias_g/logw for
+    FULL covariance (pack_vocab_constants outputs)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, D, B = feats_tdb.shape
-    M, N, twoD = a.shape
-    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    N = a.shape[1]
+    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    assert N % s_word == 0 and T % k_block == 0
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
     if bigram:
         assert s_word % 8 == 0, (
@@ -600,16 +671,18 @@ def word_loop_decode_k2_pallas(
             (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
             memory_space=pltpu.VMEM,
         ),
-        tvm((M, N, twoD)),
+        tvm(a_op.shape),
+        tvm(bias_g_op.shape),
         tvm((M, N, 1)),
+        tvm(logw_op.shape),
         tvm((band + 1, N, 1)),
         tvm(arc_col.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
     operands = [
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        exit_col,
+        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
+        diag, arc_col, entry_col, exit_col,
     ]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
@@ -617,7 +690,7 @@ def word_loop_decode_k2_pallas(
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_k2_kernel, M, k_block, band, s_word, bigram),
+        partial(_decode_k2_kernel, M, D, k_block, band, s_word, bigram, full),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[
@@ -671,8 +744,9 @@ def _topk_insert(vals, ids, v, i):
 
 
 def _decode_kn_kernel(
-    n_mix, k_block, band, s_word, K, bigram,
-    feats_ref, a_ref, bias_ref, diag_ref, arc_ref, entry_ref, exit_ref,
+    n_mix, n_dim, k_block, band, s_word, K, bigram, full,
+    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
+    entry_ref, exit_ref,
     *rest_refs,
 ):
     """n_best=K word-loop Viterbi.  Shapes as _decode_k2_kernel with the
@@ -691,7 +765,6 @@ def _decode_kn_kernel(
     W = N // s_word
     lens = len_ref[:]
     neg = jnp.float32(NEG_INF)
-    tiny = jnp.float32(_TINY)
     row = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     row_in_word = row % jnp.int32(s_word)
     is_exit = exit_ref[:] > jnp.float32(-1.0)
@@ -699,27 +772,10 @@ def _decode_kn_kernel(
     n_within = (band + 1) * K
 
     for k in range(k_block):
-        x = feats_ref[k]
-        lift = jnp.concatenate([x, x * x], axis=0)
-        m_s = None
-        e = None
-        for m in range(n_mix):
-            q = (
-                jnp.dot(
-                    a_ref[m], lift,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                + bias_ref[m]
-            )
-            if m == 0:
-                m_s = jnp.maximum(q, neg)
-                e = jnp.exp(q - m_s)
-            else:
-                new_m = jnp.maximum(m_s, q)
-                e = e * jnp.exp(m_s - new_m) + jnp.exp(q - new_m)
-                m_s = new_m
-        log_b = jnp.log(jnp.maximum(e, tiny)) + m_s  # (N, B)
+        log_b = _frame_log_b(
+            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
+            n_mix, n_dim, N, full,
+        )
 
         def first():
             outs = [jnp.maximum(entry_ref[:] + log_b, neg)]
@@ -869,20 +925,24 @@ def word_loop_decode_kn_pallas(
     n_best: int,
     k_block: int = 2,
     exit_col: jax.Array | None = None,
+    bias_g: jax.Array | None = None,
+    logw: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """General n_best=K variant: returns (final (K, W*S, B), bp
     (T, K, W*S, B) int32 flat src*K + k).  arc_col (W*S, 1) unigram OR
     (W, W) bigram (requires s_word % 8 == 0 — token_passing_fused_kn
-    pads states; W gated by the (W, W, B) take-counter VMEM budget).
+    pads states; W gated by the (W, W, B) take-counter VMEM budget);
+    bias_g/logw for FULL covariance (pack_vocab_constants outputs).
     K=2 callers should prefer word_loop_decode_k2_pallas; this kernel
     exists for K >= 3."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = n_best
     T, D, B = feats_tdb.shape
-    M, N, twoD = a.shape
-    assert twoD == 2 * D and N % s_word == 0 and T % k_block == 0
+    N = a.shape[1]
+    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    assert N % s_word == 0 and T % k_block == 0
     assert K >= 2
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
     if bigram:
@@ -915,16 +975,18 @@ def word_loop_decode_kn_pallas(
             (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
             memory_space=pltpu.VMEM,
         ),
-        tvm((M, N, twoD)),
+        tvm(a_op.shape),
+        tvm(bias_g_op.shape),
         tvm((M, N, 1)),
+        tvm(logw_op.shape),
         tvm((band + 1, N, 1)),
         tvm(arc_col.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
     operands = [
-        feats_tdb.astype(jnp.float32), a, bias, diag, arc_col, entry_col,
-        exit_col,
+        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
+        diag, arc_col, entry_col, exit_col,
     ]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
@@ -932,7 +994,7 @@ def word_loop_decode_kn_pallas(
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_kn_kernel, M, k_block, band, s_word, K, bigram),
+        partial(_decode_kn_kernel, M, D, k_block, band, s_word, K, bigram, full),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[

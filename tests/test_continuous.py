@@ -771,3 +771,108 @@ def test_decode_continuous_batch_k2_matches_single():
         for r, (score, words, spans) in enumerate(hyps[: len(ref)]):
             np.testing.assert_allclose(score, ref[r][0], rtol=2e-5, atol=1e-3)
             assert words == ref[r][1], (b, r, words, ref[r][1])
+
+
+def test_fused_decode_full_cov_matches_block_engine():
+    """FULL-covariance fused decode (late round 4): the decode kernels
+    share the scoring kernel's d-major Cholesky z-GEMM emission
+    (_frame_log_b), so the reference's canonical covariance regime
+    (T1:1834-1887) rides the fused path across {unigram, bigram} x
+    {K=1, 2, 3} at the reference's own 6-state shape (bigram
+    auto-padded)."""
+    import numpy as np
+
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        composed_emissions,
+        decode_continuous,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused,
+        token_passing_fused_k2,
+        token_passing_fused_kn,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import FULL, GmmHmm, stack_models
+
+    rng = np.random.default_rng(17)
+    W, S, D, M = 5, 6, 4, 2
+
+    def one(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        a_rnd = r.normal(size=(S, M, D, D)) * 0.3
+        cov = a_rnd @ np.swapaxes(a_rnd, -1, -2) + np.eye(D)[None, None]
+        w = r.uniform(0.3, 0.7, size=(S, M))
+        w /= w.sum(-1, keepdims=True)
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.asarray(w),
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(np.linalg.inv(cov)),
+                    det=jnp.asarray(np.linalg.det(cov)),
+                    cov_type=FULL,
+                ),
+            ),
+            word=f"w{seed}",
+        )
+
+    vocab = stack_models([one(i) for i in range(W)]).astype(jnp.float32)
+    utts = []
+    for b in range(3):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for st in range(S):
+                for _ in range(4):
+                    frames.append(mu[st, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))
+
+    cases = [
+        ("unigram", compose_word_loop_blocks(vocab), 1),
+        ("bigram", compose_word_loop_blocks(vocab, lm_logprobs=lm), 1),
+        ("unigram", compose_word_loop_blocks(vocab), 2),
+        ("unigram", compose_word_loop_blocks(vocab), 3),
+    ]
+    for arcs, graph, K in cases:
+        if K == 1:
+            f, b, se = token_passing_fused(
+                vocab, graph, batch, k_block=4, interpret=True
+            )
+            fin = np.asarray(f).reshape(1, W, se, -1)[:, :, :S]
+        elif K == 2:
+            f, b, se = token_passing_fused_k2(
+                vocab, graph, batch, k_block=4, interpret=True
+            )
+            fin = np.asarray(f).reshape(K, W, se, -1)[:, :, :S]
+        else:
+            f, b, se = token_passing_fused_kn(
+                vocab, graph, batch, n_best=K, k_block=2, interpret=True
+            )
+            fin = np.asarray(f).reshape(K, W, se, -1)[:, :, :S]
+        for bi, u in enumerate(utts):
+            log_b = composed_emissions(vocab, jnp.asarray(u, jnp.float32))
+            fx = np.asarray(
+                token_passing_blocks(graph, log_b, n_best=K)[0]
+            ).reshape(W, S, K)
+            for k in range(K):
+                ref, got = fx[:, :, k], fin[k, :, :, bi]
+                finite = np.isfinite(ref)
+                assert np.isfinite(got[finite]).all(), (arcs, K, bi, k)
+                np.testing.assert_allclose(
+                    got[finite], ref[finite], rtol=1e-4, atol=1e-3
+                )
+
+    results = decode_continuous_batch(
+        vocab, batch, lm_logprobs=lm, interpret=True
+    )
+    for bi, u in enumerate(utts):
+        ref = decode_continuous(
+            vocab, jnp.asarray(u, jnp.float32), lm_logprobs=lm, n_best=1
+        )[0]
+        assert results[bi][1] == ref[1], (bi, results[bi][1], ref[1])
+        np.testing.assert_allclose(results[bi][0], ref[0], rtol=2e-5)
