@@ -316,6 +316,63 @@ def hardware_equivalence(utts) -> dict:
         out[f"{cov}_vs_xla_log_z_rel"] = float(f"{alg_lz:.3g}")
         out[f"{cov}_vs_xla_stat_rel"] = float(f"{alg_st:.3g}")
         ok = ok and this_ok
+
+    # decode-kernel family miscompile gate: compiled vs interpret of the
+    # SAME fused word-loop Viterbi at a small shape — backpointers must be
+    # int-identical, final scores within f32 accumulation noise
+    try:
+        import numpy as np
+
+        from srhmm_tpu.decode.continuous import (
+            compose_word_loop_blocks,
+            token_passing_fused,
+        )
+        from srhmm_tpu.io.dataset import pack_utterances
+        from srhmm_tpu.models import (
+            DIAG, GmmHmm, GmmStream, init_left_right_trans, stack_models,
+        )
+
+        rng = np.random.default_rng(4)
+
+        def one(seed, S=8, M=2, D=9):
+            r = np.random.default_rng(seed)
+            var = r.uniform(0.5, 1.5, size=(S, M, D))
+            return GmmHmm(
+                trans=init_left_right_trans(S),
+                streams=(
+                    GmmStream(
+                        weights=jnp.ones((S, M)) / M,
+                        means=jnp.asarray(r.normal(size=(S, M, D)) * 3.0),
+                        inv_cov=jnp.asarray(1.0 / var),
+                        det=jnp.asarray(np.prod(var, -1)),
+                        cov_type=DIAG,
+                    ),
+                ),
+                word=f"w{seed}",
+            )
+
+        dvocab = stack_models([one(i) for i in range(8)]).astype(jnp.float32)
+        dgraph = compose_word_loop_blocks(dvocab)
+        dbatch = pack_utterances(
+            [rng.normal(size=(100 + 7 * i, 9)) for i in range(8)],
+            pad_multiple=8, dtype=jnp.float32,
+        )
+        fc, bc, _ = token_passing_fused(
+            dvocab, dgraph, dbatch, k_block=4, interpret=False
+        )
+        fi, bi, _ = token_passing_fused(
+            dvocab, dgraph, dbatch, k_block=4, interpret=True
+        )
+        fc, fi = np.asarray(fc), np.asarray(fi)
+        bp_mis = int((np.asarray(bc) != np.asarray(bi)).sum())
+        msk = np.isfinite(fi) & (fi > -1e29)
+        dec_abs = float(np.max(np.abs(fc[msk] - fi[msk])))
+        out["decode_miscompile_bp_mismatches"] = bp_mis
+        out["decode_miscompile_score_abs"] = float(f"{dec_abs:.3g}")
+        ok = ok and bp_mis == 0 and dec_abs <= 1e-2
+    except Exception as e:  # pragma: no cover
+        out["decode_miscompile_error"] = str(e)[:120]
+        ok = False
     out["ok"] = ok
     return out
 
