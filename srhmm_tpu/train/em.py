@@ -1142,6 +1142,93 @@ def _jitted_sharded_scan(
     return jax.jit(fn)
 
 
+def em_train_scan_time_sharded(
+    model: GmmHmm,
+    batch,
+    n_iters: int,
+    mesh,
+    axis: str = "time",
+    var_floor: float = 0.0,
+):
+    """N SEQUENCE-PARALLEL EM iterations as ONE jitted shard_map(lax.scan)
+    — the em_train_scan_sharded dispatch amortization for the TIME-sharded
+    E-step (parallel/sequence.py): each device runs its time shard's
+    block-operator lattices + boundary exchanges per iteration, statistics
+    psum over `axis` inside the scan body, and the replicated M-step is the
+    scan carry.  The per-iteration em_step_time_sharded pays a ~25-50 ms
+    host round-trip per iteration on the tunneled backend; this form pays
+    it once per N iterations (train_fast(time_mesh=...) drives it through
+    the chunked convergence driver).
+
+    batch: UtteranceBatch or tuple of per-stream batches;
+    batch.max_frames must divide by the mesh's time axis.  Returns
+    (final model, (n_iters,) log-prob history, (n_iters,) num_valid).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batches = batch if isinstance(batch, tuple) else (batch,)
+    lengths = batches[0].lengths
+    feats = tuple(b.features for b in batches)
+    n_dev = mesh.shape[axis]
+    T = feats[0].shape[1]
+    if T % n_dev:
+        raise ValueError(
+            f"time axis {T} not divisible by mesh axis '{axis}' ({n_dev}); "
+            "pack the batch padded to a multiple"
+        )
+    model = _with_log_det(model)
+    feats = tuple(
+        jax.device_put(f, NamedSharding(mesh, P(None, axis, None)))
+        for f in feats
+    )
+    fn = _jitted_time_sharded_scan(
+        mesh, axis, n_iters, var_floor, jax.tree.structure(model), len(feats)
+    )
+    return fn(model, feats, lengths)
+
+
+@lru_cache(maxsize=32)
+def _jitted_time_sharded_scan(
+    mesh, axis, n_iters, var_floor, model_treedef, n_streams
+):
+    """Cached jitted shard_map N-iteration sequence-parallel EM scan (one
+    trace per mesh/config, same policy as _jitted_sharded_scan)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sequence import _e_step_shard
+
+    n_dev = mesh.shape[axis]
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
+
+    def shard_fn(model, feats_loc, lengths):
+        def step(m, _):
+            st = _e_step_shard(
+                m, feats_loc, lengths, n_dev=n_dev, axis=axis
+            )  # stats already psum-reduced over `axis`
+            new = m_step(m, st, var_floor=var_floor)
+            return new, (st.log_prob, st.num_valid)
+
+        final, (lps, nvs) = jax.lax.scan(step, model, None, length=n_iters)
+        return final, lps, nvs
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            model_spec,
+            (P(None, axis, None),) * n_streams,
+            P(),
+        ),
+        out_specs=(model_spec, P(), P()),
+        # the psums inside _e_step_shard establish replication of the
+        # stats (and hence the M-step carry) by construction
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def train_fast(
     model: GmmHmm,
     batch: UtteranceBatch,
@@ -1165,29 +1252,24 @@ def train_fast(
     iteration (on the tunneled TPU that round trip is ~25-50 ms against
     sub-ms iteration compute).
 
-    time_mesh: optional ("time",) Mesh — run each iteration sequence-parallel
-    (em_step_time_sharded) instead of single-device/data-parallel (falls
-    back to the per-iteration loop; shard_map callables don't scan)."""
+    time_mesh: optional ("time",) Mesh — run sequence-parallel
+    (em_train_scan_time_sharded: the N-iteration scan INSIDE one
+    shard_map, same dispatch amortization as the other paths)."""
     from .driver import chunked_convergence_train
     from .em_parity import TrainResult
 
     if time_mesh is not None:
-        old = 1.0
-        history = []
-        iteration = 0
-        n_valid = batch.batch_size
-        while iteration < max_iterations:
-            iteration += 1
-            new_model, log_prob, num_valid = em_step_time_sharded(
-                model, batch, time_mesh, var_floor
-            )
-            log_prob = float(log_prob)
-            n_valid = int(num_valid)
-            history.append(log_prob)
-            if old != 0.0 and abs((old - log_prob) / old) <= threshold:
-                break
-            old = log_prob
-            model = new_model
+        # sequence-parallel training rides the same chunked device-scan
+        # driver as the single-device/data-parallel paths (round 4): the
+        # whole chunk of iterations runs inside one shard_map(lax.scan),
+        # so the host round-trip is paid per chunk, not per iteration
+        run = lambda m, k: em_train_scan_time_sharded(
+            m, batch, k, time_mesh, var_floor=var_floor
+        )
+        model, iteration, history, n_valid = chunked_convergence_train(
+            model, run, threshold=threshold, max_iterations=max_iterations,
+            chunk=chunk, log_prob_offset=log_prob_offset,
+        )
         return TrainResult(
             model=model,
             iterations=iteration,

@@ -244,3 +244,62 @@ def test_no_retrace_on_repeated_calls(mesh):
     for _ in range(3):
         e_step_time_sharded(model, batch, mesh)
     assert jitted._cache_size() == before  # repeated calls: no new traces
+
+
+def test_time_sharded_scan_matches_per_iteration_loop(mesh):
+    """em_train_scan_time_sharded (round 4: the N-iteration EM scan INSIDE
+    one shard_map — sequence-parallel training without the per-iteration
+    host dispatch) must reproduce the per-iteration em_step_time_sharded
+    loop's trajectory exactly, and train_fast(time_mesh=...) must agree
+    with single-device train_fast under the reference convergence rule."""
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import DIAG, GmmHmm, GmmStream
+    from srhmm_tpu.train.em import (
+        em_step_time_sharded,
+        em_train_scan_time_sharded,
+        train_fast,
+    )
+
+    rng = np.random.default_rng(23)
+    S, M, D, B, T = 5, 2, 6, 4, 64
+    means = rng.normal(size=(S, M, D)) * 3.0
+    var = rng.uniform(0.5, 1.5, size=(S, M, D))
+    model = GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(
+            GmmStream(
+                weights=jnp.ones((S, M)) / M,
+                means=jnp.asarray(means),
+                inv_cov=jnp.asarray(1.0 / var),
+                det=jnp.asarray(np.prod(var, -1)),
+                cov_type=DIAG,
+            ),
+        ),
+    ).astype(jnp.float32)
+    utts = [
+        rng.normal(size=(T - 8 * (i % 2), D))
+        + means[np.minimum(np.arange(T - 8 * (i % 2)) * S // T, S - 1), 0]
+        for i in range(B)
+    ]
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    m1 = model
+    lps_loop = []
+    for _ in range(4):
+        m1, lp, nv = em_step_time_sharded(m1, batch, mesh)
+        lps_loop.append(float(lp))
+    final, lps, nvs = em_train_scan_time_sharded(model, batch, 4, mesh)
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_loop), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(m1)):
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=2e-5, atol=1e-5,
+            )
+
+    res_sp = train_fast(model, batch, max_iterations=6, time_mesh=mesh)
+    res_sd = train_fast(model, batch, max_iterations=6)
+    assert res_sp.iterations == res_sd.iterations
+    np.testing.assert_allclose(
+        res_sp.mean_log_prob, res_sd.mean_log_prob, rtol=1e-4
+    )
