@@ -647,6 +647,107 @@ def _jitted_fused_composed_shard(
     return jax.jit(fn)
 
 
+def embedded_train_scan_sharded(
+    models: GmmHmm,
+    packed,
+    n_iters: int,
+    mesh,
+    axis: str = "data",
+    var_floor: float = 0.0,
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+):
+    """N DATA-PARALLEL embedded EM iterations as ONE jitted
+    shard_map(lax.scan) — the em.em_train_scan_sharded dispatch
+    amortization for composed-lattice (embedded) training: each device
+    runs the bank-gather kernels on its utterance shard of every bucket,
+    unit-space statistics psum over `axis` inside the scan body, and the
+    replicated vmapped unit M-step is the scan carry.
+
+    packed: tuple of (transcripts (Bk, Lk), feats (Bk, Tk, D),
+    lengths (Bk,)) shape buckets (the train_embedded packing); every
+    bucket's Bk must divide the mesh `axis` (pad with lengths == 0
+    utterances — they contribute nothing).  Returns (final models,
+    (n_iters,) log-prob history, (n_iters,) num_valid history) —
+    trajectory identical to the single-device _embedded_chunk scan.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dev = mesh.shape[axis]
+    sharded = []
+    for trs, feats, lengths in packed:
+        if trs.shape[0] % n_dev:
+            raise ValueError(
+                f"bucket batch {trs.shape[0]} not divisible by mesh axis "
+                f"'{axis}' ({n_dev}); pad with empty utterances"
+            )
+        sharded.append(
+            (
+                jax.device_put(trs, NamedSharding(mesh, P(axis, None))),
+                jax.device_put(feats, NamedSharding(mesh, P(axis, None, None))),
+                jax.device_put(lengths, NamedSharding(mesh, P(axis))),
+            )
+        )
+    fn = _jitted_embedded_sharded_scan(
+        mesh, axis, n_iters, var_floor, k_block, group, interpret,
+        jax.tree.structure(models), len(sharded),
+    )
+    return fn(models, tuple(sharded))
+
+
+@lru_cache(maxsize=32)
+def _jitted_embedded_sharded_scan(
+    mesh, axis, n_iters, var_floor, k_block, group, interpret,
+    model_treedef, n_buckets,
+):
+    """Cached jitted shard_map N-iteration embedded EM scan (one trace per
+    mesh/config, the em._jitted_sharded_scan policy)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .em import _with_log_det, m_step
+
+    model_spec = jax.tree.unflatten(
+        model_treedef, [P()] * model_treedef.num_leaves
+    )
+    bucket_spec = tuple(
+        (P(axis, None), P(axis, None, None), P(axis))
+        for _ in range(n_buckets)
+    )
+
+    def shard_fn(models, packed):
+        models = _with_log_det(models)
+
+        def step(m, _):
+            agg = None
+            for trs, feats, lengths in packed:
+                st = batch_stats_fused(
+                    m, trs, feats, lengths,
+                    k_block=k_block, group=group, interpret=interpret,
+                )
+                agg = st if agg is None else jax.tree.map(jnp.add, agg, st)
+            agg = jax.tree.map(lambda a: jax.lax.psum(a, axis), agg)
+            new = jax.vmap(
+                lambda mm, ss: m_step(mm, ss, var_floor=var_floor)
+            )(m, _unstack_stats_axis(agg))
+            return new, (agg.log_prob, agg.num_valid)
+
+        final, (lps, nvs) = jax.lax.scan(step, models, None, length=n_iters)
+        return final, lps, nvs
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(model_spec, bucket_spec),
+        out_specs=(model_spec, P(), P()),
+        # the psum in the scan body establishes replication by construction
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def utterance_stats(
     models: GmmHmm, transcript: jax.Array, feats: jax.Array, length: jax.Array
 ) -> SuffStats:

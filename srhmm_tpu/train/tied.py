@@ -283,6 +283,95 @@ def _jitted_tied_shard(mesh, axis, k_block, group, interpret, treedef):
     return jax.jit(fn)
 
 
+def tied_train_scan_sharded(
+    tied: TiedHmmSet,
+    packed,
+    n_iters: int,
+    mesh,
+    axis: str = "data",
+    var_floor: float = 0.0,
+    k_block: int = 16,
+    group: int = 8,
+    interpret: bool | None = None,
+):
+    """N DATA-PARALLEL tied EM iterations as ONE jitted
+    shard_map(lax.scan) — the embedded.embedded_train_scan_sharded form
+    for senone inventories: per shard bank-gather kernels, senone-space
+    psum inside the scan body, replicated tied update as the scan carry.
+
+    packed: tuple of (transcripts, feats, lengths) shape buckets (the
+    train_tied packing); every bucket batch must divide the mesh `axis`.
+    Returns (final TiedHmmSet, (n_iters,) log-prob history, (n_iters,)
+    num_valid history) — trajectory identical to the single-device
+    _tied_chunk scan."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dev = mesh.shape[axis]
+    sharded = []
+    for trs, feats, lengths in packed:
+        if trs.shape[0] % n_dev:
+            raise ValueError(
+                f"bucket batch {trs.shape[0]} not divisible by mesh axis "
+                f"'{axis}' ({n_dev}); pad with empty utterances"
+            )
+        sharded.append(
+            (
+                jax.device_put(trs, NamedSharding(mesh, P(axis, None))),
+                jax.device_put(feats, NamedSharding(mesh, P(axis, None, None))),
+                jax.device_put(lengths, NamedSharding(mesh, P(axis))),
+            )
+        )
+    if tied.senones.log_det is None:  # stable scan-carry pytree structure
+        tied = tied.replace(
+            senones=tied.senones.replace(log_det=tied.senones.log_abs_det())
+        )
+    fn = _jitted_tied_sharded_scan(
+        mesh, axis, n_iters, var_floor, k_block, group, interpret,
+        jax.tree.structure(tied), len(sharded),
+    )
+    return fn(tied, tuple(sharded))
+
+
+@lru_cache(maxsize=32)
+def _jitted_tied_sharded_scan(
+    mesh, axis, n_iters, var_floor, k_block, group, interpret, treedef,
+    n_buckets,
+):
+    from jax.sharding import PartitionSpec as P
+
+    tied_spec = jax.tree.unflatten(treedef, [P()] * treedef.num_leaves)
+    bucket_spec = tuple(
+        (P(axis, None), P(axis, None, None), P(axis))
+        for _ in range(n_buckets)
+    )
+
+    def shard_fn(tied, packed):
+        def step(t, _):
+            agg = None
+            for trs, feats, lengths in packed:
+                st = tied_batch_stats_fused(
+                    t, trs, feats, lengths,
+                    k_block=k_block, group=group, interpret=interpret,
+                )
+                agg = st if agg is None else jax.tree.map(jnp.add, agg, st)
+            agg = jax.tree.map(lambda a: jax.lax.psum(a, axis), agg)
+            return _apply_tied_update(t, agg, var_floor), (agg[4], agg[5])
+
+        final, (lps, nvs) = jax.lax.scan(step, tied, None, length=n_iters)
+        return final, lps, nvs
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(tied_spec, bucket_spec),
+        out_specs=(tied_spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def _tied_fused_default(tied: TiedHmmSet, D: int) -> bool:
     """Auto-select rule shared by tied_em_step and train_tied: fused
     composed kernels on TPU when the senone bank fits VMEM-resident."""

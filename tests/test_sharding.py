@@ -214,3 +214,80 @@ def test_fused_composed_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(g), a, rtol=1e-4, atol=1e-4 * max(1.0, np.abs(a).max())
         )
+
+
+def test_composed_sharded_scan_trajectory_matches_single_device():
+    """Dispatch-amortized multi-chip COMPOSED training (late round 4):
+    embedded_train_scan_sharded / tied_train_scan_sharded put the whole
+    N-iteration scan inside one shard_map (bank-gather kernels per shard,
+    unit/senone psum in the scan body, replicated update as the carry) —
+    trajectories must equal the single-device _embedded_chunk /
+    _tied_chunk scans; final parameters within reduction-order
+    rounding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from srhmm_tpu.models import stack_models
+    from srhmm_tpu.models.tying import tie_from_models
+    from srhmm_tpu.train.embedded import (
+        _embedded_chunk,
+        embedded_train_scan_sharded,
+    )
+    from srhmm_tpu.train.tied import _tied_chunk, tied_train_scan_sharded
+
+    rng = np.random.default_rng(5)
+    P, S, M, D, B, T, L = 3, 3, 2, 5, 8, 32, 2
+
+    def unit(seed):
+        r = np.random.default_rng(seed)
+        means = r.normal(size=(S, M, D)) * 3.0
+        var = r.uniform(0.5, 1.5, size=(S, M, D))
+        return GmmHmm(
+            trans=init_left_right_trans(S),
+            streams=(
+                GmmStream(
+                    weights=jnp.ones((S, M)) / M,
+                    means=jnp.asarray(means),
+                    inv_cov=jnp.asarray(1.0 / var),
+                    det=jnp.asarray(np.prod(var, -1)),
+                    cov_type=DIAG,
+                ),
+            ),
+            word=f"u{seed}",
+        )
+
+    models = stack_models([unit(i) for i in range(P)]).astype(jnp.float32)
+    trs = jnp.asarray(rng.integers(0, P, size=(B, L)), jnp.int32)
+    feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)), jnp.int32)
+    packed = ((trs, feats, lens),)
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    ref_final, ref_lps, _ = _embedded_chunk(models, packed, 3, 0.0, True)
+    got_final, got_lps, _ = embedded_train_scan_sharded(
+        models, packed, 3, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_lps), np.asarray(ref_lps), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(got_final), jax.tree.leaves(ref_final)):
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=2e-3, atol=1e-4,
+            )
+
+    N = 5
+    sm = rng.integers(0, N, size=(P, S)).astype(np.int32)
+    sm[0] = [0, 1, 2]
+    tied = tie_from_models(models, sm).astype(jnp.float32)
+    tref_final, tref_lps, _ = _tied_chunk(tied, packed, 3, 0.0, True)
+    tgot_final, tgot_lps, _ = tied_train_scan_sharded(tied, packed, 3, mesh)
+    np.testing.assert_allclose(
+        np.asarray(tgot_lps), np.asarray(tref_lps), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(tgot_final), jax.tree.leaves(tref_final)):
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=2e-3, atol=1e-4,
+            )
