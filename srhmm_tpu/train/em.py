@@ -1236,6 +1236,7 @@ def train_fast(
     max_iterations: int = 100,
     var_floor: float = 0.0,
     time_mesh=None,
+    data_mesh=None,
     chunk: int = 8,
     log_prob_offset: float = 0.0,
     abs_floors=None,
@@ -1254,9 +1255,31 @@ def train_fast(
 
     time_mesh: optional ("time",) Mesh — run sequence-parallel
     (em_train_scan_time_sharded: the N-iteration scan INSIDE one
-    shard_map, same dispatch amortization as the other paths)."""
+    shard_map, same dispatch amortization as the other paths).
+    data_mesh: optional Mesh with a "data" axis — run data-parallel via
+    em_train_scan_sharded (the batch must divide the axis; fused-eligible
+    models)."""
     from .driver import chunked_convergence_train
     from .em_parity import TrainResult
+
+    if data_mesh is not None:
+        from ..ops.pallas.fused_em_pallas import trans_band
+
+        dp_band = trans_band(model.trans)
+        run = lambda m, k: em_train_scan_sharded(
+            m, batch, k, data_mesh, var_floor=var_floor, band=dp_band
+        )
+        model, iteration, history, n_valid = chunked_convergence_train(
+            model, run, threshold=threshold, max_iterations=max_iterations,
+            chunk=chunk, log_prob_offset=log_prob_offset,
+        )
+        return TrainResult(
+            model=model,
+            iterations=iteration,
+            mean_log_prob=history[-1] / max(n_valid, 1),
+            exemplar_count=n_valid,
+            log_prob_history=history,
+        )
 
     if time_mesh is not None:
         # sequence-parallel training rides the same chunked device-scan

@@ -861,6 +861,8 @@ def train_embedded(
     pad_multiple: int = 32,
     fused: bool | None = None,
     chunk: int = 8,
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """Embedded EM driver: buckets utterances by transcript length, then
     runs the chunked convergence driver (train/driver.py) — iterations
@@ -871,7 +873,12 @@ def train_embedded(
     (batch_stats_fused) exactly like embedded_em_step — the driver rides
     the same kernels as the raw step API (round-3 fix; round 2 left the
     driver on the XLA path and paid a host sync per bucket per
-    iteration)."""
+    iteration).
+
+    mesh: optional Mesh with a `mesh_axis` axis — data-parallel training
+    via embedded_train_scan_sharded (round 4: the chunk scan inside one
+    shard_map); buckets pad with empty utterances so every bucket batch
+    divides the axis."""
     from ..io.dataset import round_up
     from .driver import chunked_convergence_train
     from .em_parity import TrainResult
@@ -885,12 +892,14 @@ def train_embedded(
         key = (round_up(len(u), pad_multiple), len(tr))
         buckets.setdefault(key, []).append(i)
 
+    n_dev = mesh.shape[mesh_axis] if mesh is not None else 1
     packed = []
     for (T, L), idxs in buckets.items():
         D = utterances[0].shape[1]
-        feats = np.zeros((len(idxs), T, D))
-        lengths = np.zeros(len(idxs), np.int32)
-        trs = np.zeros((len(idxs), L), np.int32)
+        nb = round_up(len(idxs), n_dev)  # empty-utterance pad rows for DP
+        feats = np.zeros((nb, T, D))
+        lengths = np.zeros(nb, np.int32)
+        trs = np.zeros((nb, L), np.int32)
         for row, i in enumerate(idxs):
             feats[row, : len(utterances[i])] = utterances[i]
             lengths[row] = len(utterances[i])
@@ -903,7 +912,12 @@ def train_embedded(
             )
         )
 
-    run = lambda m, k: _embedded_chunk(m, tuple(packed), k, var_floor, fused)
+    if mesh is not None:
+        run = lambda m, k: embedded_train_scan_sharded(
+            m, tuple(packed), k, mesh, axis=mesh_axis, var_floor=var_floor
+        )
+    else:
+        run = lambda m, k: _embedded_chunk(m, tuple(packed), k, var_floor, fused)
     models, iteration, history, n_valid = chunked_convergence_train(
         models, run, threshold=threshold, max_iterations=max_iterations,
         chunk=chunk,

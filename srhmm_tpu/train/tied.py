@@ -457,13 +457,19 @@ def train_tied(
     pad_multiple: int = 32,
     fused: bool | None = None,
     chunk: int = 8,
+    mesh=None,
+    mesh_axis: str = "data",
 ):
     """Tied-state embedded EM driver (bucketed by shape): iterations run
     in device-side scans of `chunk`, speculatively pipelined by the
     chunked convergence driver (train/driver.py), with the exact
     reference convergence semantics.  fused=None auto-selects the fused
     composed-lattice Pallas E-step exactly like tied_em_step (round-3
-    fix: the driver rides the same kernels as the raw step API)."""
+    fix: the driver rides the same kernels as the raw step API).
+
+    mesh: optional Mesh with a `mesh_axis` axis — data-parallel training
+    via tied_train_scan_sharded (round 4); buckets pad with empty
+    utterances so every bucket batch divides the axis."""
     from ..io.dataset import round_up
     from .driver import chunked_convergence_train
     from .em_parity import TrainResult
@@ -475,19 +481,26 @@ def train_tied(
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, (u, tr) in enumerate(zip(utterances, transcripts)):
         buckets.setdefault((round_up(len(u), pad_multiple), len(tr)), []).append(i)
+    n_dev = mesh.shape[mesh_axis] if mesh is not None else 1
     packed = []
     D = utterances[0].shape[1]
     for (T, L), idxs in buckets.items():
-        f = np.zeros((len(idxs), T, D))
-        ln = np.zeros(len(idxs), np.int32)
-        trs = np.zeros((len(idxs), L), np.int32)
+        nb = round_up(len(idxs), n_dev)  # empty-utterance pad rows for DP
+        f = np.zeros((nb, T, D))
+        ln = np.zeros(nb, np.int32)
+        trs = np.zeros((nb, L), np.int32)
         for row, i in enumerate(idxs):
             f[row, : len(utterances[i])] = utterances[i]
             ln[row] = len(utterances[i])
             trs[row] = transcripts[i]
         packed.append((jnp.asarray(trs), jnp.asarray(f, dtype), jnp.asarray(ln)))
 
-    run = lambda t, k: _tied_chunk(t, tuple(packed), k, var_floor, fused)
+    if mesh is not None:
+        run = lambda t, k: tied_train_scan_sharded(
+            t, tuple(packed), k, mesh, axis=mesh_axis, var_floor=var_floor
+        )
+    else:
+        run = lambda t, k: _tied_chunk(t, tuple(packed), k, var_floor, fused)
     tied, iteration, history, n_valid = chunked_convergence_train(
         tied, run, threshold=threshold, max_iterations=max_iterations,
         chunk=chunk,
