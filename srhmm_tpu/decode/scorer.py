@@ -208,72 +208,3 @@ def rank_c_parity(scores: np.ndarray) -> np.ndarray:
                 idx[i], idx[i + 1] = idx[i + 1], idx[i]
                 done = False
     return np.asarray(idx)
-
-
-def score_batch_fused(
-    vocab: GmmHmm,
-    batch,
-    mode: str = TOTAL,
-    t_block: int = 256,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Fully-fused vocabulary scoring on the Pallas kernels: one emission
-    GEMM kernel over the merged (W*S, M) Gaussian bank, then the time-major
-    forward kernel over (B*W) rows with per-word transition matrices.
-
-    vocab: stacked single-stream diagonal-covariance GmmHmm (W leading axis);
-    batch: UtteranceBatch with T % t_block == 0.  Returns (B, W) f32 scores.
-
-    NOTE (hardware-measured): the composite emission+forward pipeline's
-    first compile is pathologically slow on the current Mosaic toolchain
-    (~8 min; each kernel alone compiles in ~1 s) and at small-S configs it
-    matches rather than beats the XLA scan path — `score_batch_log` is the
-    production default; this entry point exists for large-vocabulary regimes
-    and future toolchains.
-    """
-    from ..models.gmm_hmm import DIAG, GmmStream
-    from ..ops.pallas.emission_pallas import _pack_constants, emission_log_b_pallas
-    from ..ops.pallas.forward_pallas import log_forward_batch_pallas
-
-    stream = vocab.streams[0]
-    if stream.cov_type != DIAG:
-        raise ValueError("fused scoring requires diagonal covariance")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    W, S, M, D = stream.means.shape
-    B, T = batch.features.shape[0], batch.features.shape[1]
-
-    merged = GmmStream(
-        weights=stream.weights.reshape(W * S, M),
-        means=stream.means.reshape(W * S, M, D),
-        inv_cov=stream.inv_cov.reshape(W * S, M, D),
-        det=stream.det.reshape(W * S, M),
-        cov_type=DIAG,
-        log_det=None
-        if stream.log_det is None
-        else stream.log_det.reshape(W * S, M),
-    )
-    a, bias = _pack_constants(merged, jnp.float32)
-    flat = batch.features.astype(jnp.float32).reshape(B * T, D)
-    lb_flat = emission_log_b_pallas(
-        flat, a, bias, t_block=t_block, interpret=interpret
-    )  # (B*T, W*S)
-    lb = (
-        lb_flat.reshape(B, T, W, S)
-        .transpose(0, 2, 1, 3)
-        .reshape(B * W, T, S)
-    )
-
-    log_trans = jnp.where(
-        vocab.trans > 0,
-        jnp.log(jnp.where(vocab.trans > 0, vocab.trans, 1.0)),
-        -jnp.inf,
-    ).astype(jnp.float32)  # (W, S, S)
-    lt_rows = jnp.broadcast_to(log_trans[None], (B, W, S, S)).reshape(B * W, S, S)
-    lens = jnp.broadcast_to(batch.lengths[:, None], (B, W)).reshape(B * W)
-
-    la = log_forward_batch_pallas(lb, lt_rows, lens, interpret=interpret)
-    la = la.reshape(B, W, S)
-    if mode == TOTAL:
-        return jax.nn.logsumexp(la, axis=-1)
-    return la[..., -1]

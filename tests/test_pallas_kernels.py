@@ -94,35 +94,6 @@ def test_fused_mfcc_matches_frontend():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
-def test_fused_vocab_scoring_matches_reference():
-    from srhmm_tpu.decode.scorer import score_batch_fused, score_batch_log
-    from srhmm_tpu.io.dataset import pack_utterances
-    from srhmm_tpu.models import GmmHmm, stack_models
-
-    rng = np.random.default_rng(5)
-    W, S, M, D = 4, 6, 3, 9
-    words = []
-    for w in range(W):
-        stream = _stream(np.random.default_rng(100 + w), S=S, M=M, D=D)
-        words.append(
-            GmmHmm(
-                trans=init_left_right_trans(S),
-                streams=(stream,),
-                word=f"w{w}",
-            )
-        )
-    vocab = stack_models(words).astype(jnp.float32)
-    utts = [rng.normal(size=(100 + 30 * i, D)) for i in range(3)]
-    batch = pack_utterances(utts, pad_multiple=256, dtype=jnp.float32)
-
-    for mode in ("total", "final"):
-        got = np.asarray(score_batch_fused(vocab, batch, mode=mode, interpret=True))
-        want = np.asarray(score_batch_log(vocab, batch, mode=mode))
-        finite = np.isfinite(want)
-        np.testing.assert_allclose(got[finite], want[finite], rtol=2e-4, atol=2e-3)
-        assert (got[~finite] < -1e28).all()
-
-
 def test_lattice_kernels_match_scan():
     from srhmm_tpu.ops import log_backward_full, log_forward_full
     from srhmm_tpu.ops.pallas.lattice_pallas import (
