@@ -11,6 +11,7 @@ from .gmm_hmm import (
     FULL,
     GmmHmm,
     GmmStream,
+    concat_models,
     init_left_right_trans,
     pad_stack_models,
     stack_models,
@@ -24,6 +25,7 @@ __all__ = [
     "GmmHmm",
     "GmmStream",
     "Question",
+    "concat_models",
     "cluster_states",
     "default_questions",
     "init_left_right_trans",

@@ -138,6 +138,48 @@ class GmmHmm:
         )
 
 
+def concat_models(units: GmmHmm, ids: Sequence[int], word: str = "") -> GmmHmm:
+    """Left-to-right concatenation of stacked unit models into ONE GmmHmm.
+
+    units: a stacked (P, S, ...) inventory (e.g. materialized tied
+    triphones); ids: the unit sequence.  The result has L*S states:
+    block-diagonal transitions with a chain arc from unit k's exit state
+    into unit k+1's entry carrying the exit state's self-loop mass — the
+    compose_sequence / train.embedded._composed_log_trans convention
+    (decode/continuous.py:150), so a word built here decodes identically
+    to the forced-alignment graph of its unit sequence.  This is the
+    tied-system -> decode-vocabulary materialization step: lexicon entries
+    become ordinary GmmHmm word models that every scoring/decode path
+    accepts.  The reference has no sub-word units at all (one whole-word
+    model per .hmm, T1:62-66), so this seam is new surface."""
+    ids = np.asarray(ids, np.int64)
+    L = len(ids)
+    S = units.trans.shape[-1]
+    t = np.asarray(units.trans)[ids]  # (L, S, S)
+    trans = np.zeros((L * S, L * S), t.dtype)
+    for k in range(L):
+        trans[k * S : (k + 1) * S, k * S : (k + 1) * S] = t[k]
+        if k + 1 < L:
+            trans[k * S + S - 1, (k + 1) * S] = t[k][S - 1, S - 1]
+
+    def gather(a):
+        a = np.asarray(a)[ids]  # (L, S, M, ...)
+        return jnp.asarray(a.reshape(L * S, *a.shape[2:]))
+
+    streams = tuple(
+        GmmStream(
+            weights=gather(st.weights),
+            means=gather(st.means),
+            inv_cov=gather(st.inv_cov),
+            det=gather(st.det),
+            cov_type=st.cov_type,
+            log_det=None if st.log_det is None else gather(st.log_det),
+        )
+        for st in units.streams
+    )
+    return GmmHmm(trans=jnp.asarray(trans), streams=streams, word=word)
+
+
 def stack_models(models: Sequence[GmmHmm]) -> GmmHmm:
     """Stack per-word models into a single GmmHmm with a leading vocab axis.
 
