@@ -66,8 +66,12 @@ class CheckpointManager:
             "iteration": state.iteration,
             "old_log_prob": state.old_log_prob,
             "history": state.history,
-            "word": str(model.word),
-            "cov_types": [s.cov_type for s in model.streams],
+            # model-identity fields are best-effort: the manager handles any
+            # trainer-state pytree (GmmHmm, stacked vocab, TiedHmmSet)
+            "word": str(getattr(model, "word", "")),
+            "cov_types": [
+                s.cov_type for s in getattr(model, "streams", ())
+            ],
         }
         tmp = mp.with_suffix(".tmp")
         tmp.write_bytes(payload)

@@ -42,6 +42,7 @@ def chunked_convergence_train(
     chunk: int = 8,
     pipeline: int = 2,
     log_prob_offset: float = 0.0,
+    checkpoint=None,
 ):
     """Run `run_chunk` under the reference convergence rule.
 
@@ -49,6 +50,16 @@ def chunked_convergence_train(
     convergence test and before recording history — used by CMVN-normalized
     training to apply the constant Jacobian correction INSIDE the rule (the
     reference's relative-change test is not shift-invariant).
+
+    checkpoint: optional train.checkpoint.CheckpointManager — the model
+    pytree plus the driver bookkeeping (iteration, old log prob, history)
+    is saved after every fetched chunk, and a newest complete checkpoint
+    in the directory resumes training mid-run with the IDENTICAL
+    trajectory (EM is deterministic and the model is the complete driver
+    state).  This is how ALL chunked trainers (isolated fast path,
+    embedded, tied) get failure recovery — the reference loses everything
+    on a crash (exit(1), T1:406-408).  Chunk granularity: a crash replays
+    at most `chunk` iterations of device work.
 
     Returns (final_state, iterations, log_prob_history, last_num_valid).
     `run_chunk(state, k)` must run k EM iterations on device and return
@@ -62,11 +73,18 @@ def chunked_convergence_train(
     history: list[float] = []
     n_valid = 0
     iteration = 0
-    inflight: deque = deque()
-    planned = 0
+    if checkpoint is not None:
+        resumed = checkpoint.latest(state)
+        if resumed is not None:
+            state, ck = resumed
+            iteration = ck.iteration
+            old = ck.old_log_prob
+            history = list(ck.history)
     cur = state
+    inflight: deque = deque()
+    planned = iteration
     final_state = state
-    converged = False
+    converged = iteration >= max_iterations
 
     while True:
         while (
@@ -100,4 +118,20 @@ def chunked_convergence_train(
             inflight.clear()  # discard speculative chunks
             break
         final_state = after
+        if checkpoint is not None:
+            from .checkpoint import EmDriverState
+
+            checkpoint.save(
+                after,
+                EmDriverState(
+                    iteration=iteration, old_log_prob=old, history=history
+                ),
+            )
+    if checkpoint is not None and converged:
+        from .checkpoint import EmDriverState
+
+        checkpoint.save(
+            final_state,
+            EmDriverState(iteration=iteration, old_log_prob=old, history=history),
+        )
     return final_state, iteration, history, n_valid

@@ -459,6 +459,7 @@ def train_tied(
     chunk: int = 8,
     mesh=None,
     mesh_axis: str = "data",
+    checkpoint_dir=None,
 ):
     """Tied-state embedded EM driver (bucketed by shape): iterations run
     in device-side scans of `chunk`, speculatively pipelined by the
@@ -469,7 +470,13 @@ def train_tied(
 
     mesh: optional Mesh with a `mesh_axis` axis — data-parallel training
     via tied_train_scan_sharded (round 4); buckets pad with empty
-    utterances so every bucket batch divides the axis."""
+    utterances so every bucket batch divides the axis.
+
+    checkpoint_dir: optional directory — chunk-granular checkpoint/resume
+    through the driver (round 5): a config-5-scale tied run that dies
+    resumes from the newest complete checkpoint with the identical
+    trajectory instead of losing everything (the reference's failure
+    mode, exit(1) T1:406-408)."""
     from ..io.dataset import round_up
     from .driver import chunked_convergence_train
     from .em_parity import TrainResult
@@ -501,9 +508,18 @@ def train_tied(
         )
     else:
         run = lambda t, k: _tied_chunk(t, tuple(packed), k, var_floor, fused)
+    manager = None
+    if checkpoint_dir is not None:
+        from .checkpoint import CheckpointManager
+
+        manager = CheckpointManager(checkpoint_dir)
+        if tied.senones.log_det is None:  # match the chunk-scan carry
+            tied = tied.replace(
+                senones=tied.senones.replace(log_det=tied.senones.log_abs_det())
+            )
     tied, iteration, history, n_valid = chunked_convergence_train(
         tied, run, threshold=threshold, max_iterations=max_iterations,
-        chunk=chunk,
+        chunk=chunk, checkpoint=manager,
     )
     return TrainResult(
         model=tied,

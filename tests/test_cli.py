@@ -362,3 +362,63 @@ def test_train_cli_stream_shards(reference_root, tmp_path):
         np.asarray(a.streams[0].means), np.asarray(b.streams[0].means),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_train_embedded_cli_end_to_end(tmp_path):
+    """The beyond-reference trainers' CLI (round 5): embedded and tied
+    training runs from the command line, exports reference-compatible
+    per-unit .hmm files, warm-starts, and checkpoints/resumes."""
+    from srhmm_tpu.cli.train_embedded import main
+    from srhmm_tpu.io import read_hmm, write_perfil
+
+    rng = np.random.default_rng(11)
+    D, P = 6, 3
+    names = ["a-b+c", "b-c+a", "c-a+b"]
+    means = rng.normal(size=(P, D)) * 4.0
+    lines = []
+    for i in range(10):
+        seq = rng.integers(0, P, 2 + (i % 2))
+        f = np.concatenate(
+            [means[u] + rng.normal(size=(14 + (i % 3), D)) for u in seq]
+        )
+        p = tmp_path / f"u{i}.perfil"
+        write_perfil(p, f)
+        lines.append(str(p) + " " + " ".join(names[u] for u in seq))
+    (tmp_path / "trans.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out_emb"
+    rc = main(
+        [str(tmp_path / "trans.txt"), str(out), "--states", "3", "--mix", "1",
+         "--max-iters", "4", "--checkpoint-dir", str(tmp_path / "ck")]
+    )
+    assert rc == 0
+    import json
+
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["iterations"] >= 1
+    for u in names:
+        m = read_hmm(str(out / f"{u}.hmm"))
+        assert m.num_states == 3
+
+    # warm start from the trained inventory: resumes in <= as many iters
+    out2 = tmp_path / "out_warm"
+    rc = main(
+        [str(tmp_path / "trans.txt"), str(out2), "--states", "3", "--mix", "1",
+         "--max-iters", "4", "--init", str(out)]
+    )
+    assert rc == 0
+
+    # tied-state variant: decision tree + senone map + materialized units
+    out3 = tmp_path / "out_tied"
+    rc = main(
+        [str(tmp_path / "trans.txt"), str(out3), "--states", "3", "--mix", "1",
+         "--tied", "--min-gain", "1.0", "--min-occ", "2.0",
+         "--max-iters", "3"]
+    )
+    assert rc == 0
+    smap = json.loads((out3 / "senone_map.json").read_text())
+    assert set(smap) == set(names)
+    tied_summary = json.loads((out3 / "summary.json").read_text())
+    assert tied_summary["n_senones"] >= 3
+    for u in names:
+        read_hmm(str(out3 / f"{u}.hmm"))
