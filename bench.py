@@ -373,7 +373,176 @@ def hardware_equivalence(utts) -> dict:
     except Exception as e:  # pragma: no cover
         out["decode_miscompile_error"] = str(e)[:120]
         ok = False
+
+    # scoring-kernel family miscompile gate (round 5): compiled vs
+    # interpret of the fused lane scorer across its whole matrix — diag,
+    # full-cov, MULTI-STREAM (product-of-streams), and HETEROGENEOUS
+    # (padded states + per-word final gather).  Same-arithmetic compare:
+    # any Mosaic codegen divergence is self-announcing.
+    try:
+        import numpy as np
+
+        from srhmm_tpu.io.dataset import pack_utterances
+        from srhmm_tpu.models import (
+            DIAG, FULL, GmmHmm, GmmStream, init_left_right_trans,
+            pad_stack_models, stack_models,
+        )
+        from srhmm_tpu.ops.pallas.scoring_pallas import score_batch_fused_lane
+
+        rng = np.random.default_rng(7)
+
+        def mk(seed, S=6, M=2, D=9, cov="diag"):
+            r = np.random.default_rng(seed)
+            means = r.normal(size=(S, M, D)) * 3.0
+            if cov == "full":
+                a_r = r.normal(size=(S, M, D, D)) * 0.3
+                covm = a_r @ np.swapaxes(a_r, -1, -2) + np.eye(D)[None, None]
+                ic, det, ct = np.linalg.inv(covm), np.linalg.det(covm), FULL
+            else:
+                var = r.uniform(0.5, 1.5, size=(S, M, D))
+                ic, det, ct = 1.0 / var, np.prod(var, -1), DIAG
+            w = r.uniform(0.3, 0.7, size=(S, M))
+            return GmmHmm(
+                trans=init_left_right_trans(S),
+                streams=(
+                    GmmStream(
+                        weights=jnp.asarray(w / w.sum(-1, keepdims=True)),
+                        means=jnp.asarray(means),
+                        inv_cov=jnp.asarray(ic),
+                        det=jnp.asarray(det),
+                        cov_type=ct,
+                    ),
+                ),
+                word=f"w{seed}",
+            )
+
+        sb = pack_utterances(
+            [rng.normal(size=(60 + 9 * i, 9)) for i in range(8)],
+            pad_multiple=32, dtype=jnp.float32,
+        )
+
+        def gate(name, vocab, batch, **kw):
+            nonlocal ok
+            sc = np.asarray(
+                score_batch_fused_lane(vocab, batch, interpret=False, **kw)
+            )
+            si = np.asarray(
+                score_batch_fused_lane(vocab, batch, interpret=True, **kw)
+            )
+            m = np.isfinite(si)
+            rel = float(
+                np.max(np.abs(sc[m] - si[m]) / np.maximum(np.abs(si[m]), 1.0))
+            ) if m.any() else 0.0
+            rel = max(rel, float((np.isfinite(sc) != m).sum()))
+            out[f"score_{name}_miscompile_rel"] = float(f"{rel:.3g}")
+            # hardware-measured ~1.3e-7 on a healthy path (compiled and
+            # interpret differ by f32 reduction order in the lane scorer's
+            # in-kernel logsumexp); 1e-5 still catches codegen divergence
+            ok = ok and rel <= 1e-5
+
+        gate("diag", stack_models([mk(i) for i in range(5)]).astype(jnp.float32), sb)
+        gate(
+            "full",
+            stack_models([mk(i, cov="full") for i in range(4)]).astype(jnp.float32),
+            sb,
+        )
+        ms_vocab = stack_models(
+            [
+                GmmHmm(
+                    trans=mk(i).trans,
+                    streams=mk(i).streams + mk(i + 50).streams,
+                    word=f"m{i}",
+                )
+                for i in range(4)
+            ]
+        ).astype(jnp.float32)
+        gate("multistream", ms_vocab, (sb, sb))
+        het, fin = pad_stack_models(
+            [mk(0, S=4), mk(1, S=6), mk(2, S=6), mk(3, S=4)]
+        )
+        gate(
+            "heterogeneous", het.astype(jnp.float32), sb,
+            mode="final", final_states=fin,
+        )
+    except Exception as e:  # pragma: no cover
+        out["score_miscompile_error"] = str(e)[:120]
+        ok = False
+
+    # composed-lattice (bank gather/scatter) family miscompile gate
+    # (round 5): compiled vs interpret of the fused embedded E-step
+    try:
+        from srhmm_tpu.models import stack_models as _sm
+        from srhmm_tpu.train.embedded import batch_stats_fused
+
+        units = _sm([mk(i, S=4, M=2, D=9) for i in range(3)]).astype(jnp.float32)
+        trs = jnp.asarray(rng.integers(0, 3, size=(8, 2)), jnp.int32)
+        fts = jnp.asarray(rng.normal(size=(8, 32, 9)), jnp.float32)
+        lns = jnp.asarray([32, 30, 28, 32, 26, 32, 31, 29], jnp.int32)
+        cs = batch_stats_fused(units, trs, fts, lns, k_block=8, interpret=False)
+        ci = batch_stats_fused(units, trs, fts, lns, k_block=8, interpret=True)
+        clz = float(cs.log_prob)
+        c_lz = abs(clz - float(ci.log_prob)) / max(abs(clz), 1.0)
+        c_st = _stat_rel_err(ci, cs)
+        out["composed_miscompile_log_z_rel"] = float(f"{c_lz:.3g}")
+        out["composed_miscompile_stat_rel"] = float(f"{c_st:.3g}")
+        ok = ok and c_lz <= 1e-6 and c_st <= 1e-5
+    except Exception as e:  # pragma: no cover
+        out["composed_miscompile_error"] = str(e)[:120]
+        ok = False
+
+    # fused-MFCC family miscompile gate (round 5): compiled vs interpret
+    # of the STFT+mel+DCT kernel on one waveform
+    try:
+        import numpy as np
+
+        from srhmm_tpu.features import FrontendConfig
+        from srhmm_tpu.features.pallas_mfcc import mfcc_pallas
+
+        wave = jnp.asarray(
+            np.random.default_rng(9).normal(size=16_000), jnp.float32
+        )
+        fcfg = FrontendConfig()
+        mc = np.asarray(mfcc_pallas(wave, fcfg, interpret=False))
+        mi = np.asarray(mfcc_pallas(wave, fcfg, interpret=True))
+        m_abs = float(np.max(np.abs(mc - mi)))
+        out["mfcc_miscompile_abs"] = float(f"{m_abs:.3g}")
+        ok = ok and m_abs <= 1e-3
+    except Exception as e:  # pragma: no cover
+        out["mfcc_miscompile_error"] = str(e)[:120]
+        ok = False
+
     out["ok"] = ok
+    return out
+
+
+def bench_pipeline() -> dict:
+    """The WHOLE framework as one system, on the chip, with a quality axis:
+    synthetic audio -> fused MFCC -> LBG -> monophone fused EM -> decision
+    tree -> tied fused EM -> materialize -> bigram n_best=2 fused decode ->
+    WER (srhmm_tpu/pipeline.py), at three SNR conditions.  Clean synthetic
+    speech should sit near 0% WER; the SNR rows give the decode numbers an
+    accuracy story (VERDICT r4 #10).  Word count is FIXED per utterance so
+    shape buckets collapse and TPU compile count stays bounded."""
+    import dataclasses
+
+    from srhmm_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out = {"metric": "pipeline_e2e"}
+    base = PipelineConfig(min_words=3, max_words=3)
+    t_all = time.perf_counter()
+    for label, snr in (("clean", None), ("10db", 10.0), ("0db", 0.0)):
+        cfg = dataclasses.replace(base, snr_db=snr)
+        t0 = time.perf_counter()
+        res = run_pipeline(
+            cfg, n_train=40, n_test=16, max_iterations=5, tied_iterations=5,
+            n_best=2, pad_multiple=128,
+        )
+        out[f"wer_{label}"] = round(res.wer.wer, 4)
+        out[f"wall_s_{label}"] = round(time.perf_counter() - t0, 1)
+    out["n_senones"] = res.n_senones
+    out["n_units"] = res.n_units
+    out["ref_words"] = res.wer.num_ref_words
+    out["wall_s_total"] = round(time.perf_counter() - t_all, 1)
     return out
 
 
@@ -494,6 +663,11 @@ def main():
                 print(json.dumps({"config": c, "error": str(e)[:120]}), flush=True)
     except Exception as e:  # pragma: no cover
         print(json.dumps({"suite_error": str(e)[:120]}), flush=True)
+
+    try:
+        print(json.dumps(bench_pipeline()), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(json.dumps({"metric": "pipeline_e2e", "error": str(e)[:120]}), flush=True)
 
     for ct, name in (("diag", "batch_recognition_audio_s_per_sec"),
                      ("full", "batch_recognition_fullcov_audio_s_per_sec")):

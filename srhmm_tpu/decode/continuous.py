@@ -162,9 +162,14 @@ def compose_sequence(vocab: GmmHmm, transcript: list[int]) -> ComposedGraph:
     )
 
 
-def composed_emissions(vocab: GmmHmm, frames: jax.Array) -> jax.Array:
+def composed_emissions(vocab: GmmHmm, frames) -> jax.Array:
     """(T, S_tot) emission log-likelihoods for the composed space: one
-    batched computation over the stacked vocabulary."""
+    batched computation over the stacked vocabulary.
+
+    frames: (T, D) shared-stream frames, or a tuple of per-stream (T, D_p)
+    arrays for MULTI-STREAM vocabularies — per-stream emissions sum in log
+    space (the reference's product-of-streams semantics, R2:352-358,
+    lifted to the composed graph; round 5)."""
     per_word = jax.vmap(
         lambda m: log_state_emission(frames, m.streams)
     )(vocab)  # (W, T, S)
@@ -173,11 +178,12 @@ def composed_emissions(vocab: GmmHmm, frames: jax.Array) -> jax.Array:
 
 
 def emissions_for_graph(
-    vocab: GmmHmm, graph: ComposedGraph, frames: jax.Array
+    vocab: GmmHmm, graph: ComposedGraph, frames
 ) -> jax.Array:
     """(T, S_tot) emissions for an arbitrary composed graph: computed per
     unique word then gathered by state_to_word (sequence graphs repeat
-    units, so compute once per word, not per occurrence)."""
+    units, so compute once per word, not per occurrence).  frames may be a
+    per-stream tuple (see composed_emissions)."""
     per_word = jax.vmap(lambda m: log_state_emission(frames, m.streams))(vocab)
     S = per_word.shape[-1]
     n_states = graph.state_to_word.shape[0]
@@ -901,7 +907,34 @@ def decode_continuous_batch(
     unigram and, for W within the VMEM gate, bigram arcs — oversized
     bigram K>2 graphs fall back to the per-utterance engine);
     both return a list over utterances of UP TO n_best tuples, best
-    first."""
+    first.
+
+    MULTI-STREAM vocabularies (round 5): pass `batch` as a tuple of
+    per-stream UtteranceBatch objects (shared lengths, one feature set
+    per stream, the reference's R2:331-339 contract) — decoding runs the
+    per-utterance XLA block engine with per-stream composed emissions
+    summed in log space (R2:352-358 product-of-streams lifted to the
+    word loop)."""
+    if isinstance(batch, (tuple, list)) and len(vocab.streams) > 1:
+        lengths_np = np.asarray(batch[0].lengths)
+        out = []
+        for b in range(batch[0].features.shape[0]):
+            L = int(lengths_np[b])
+            if L <= 0:
+                out.append((float("-inf"), [], []) if n_best == 1 else [])
+                continue
+            hyp = decode_continuous(
+                vocab,
+                tuple(bb.features[b, :L] for bb in batch),
+                lm_logprobs=lm_logprobs,
+                exit_logprob=exit_logprob,
+                lm_scale=lm_scale,
+                word_insertion_penalty=word_insertion_penalty,
+                lm_initial=lm_initial,
+                n_best=n_best,
+            )
+            out.append(hyp[0] if n_best == 1 else hyp)
+        return out
     if n_best >= 2:
         return _decode_batch_kn(
             vocab, batch, lm_logprobs, exit_logprob, lm_scale,

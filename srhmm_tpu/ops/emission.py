@@ -88,15 +88,29 @@ def log_gauss(frames: jax.Array, stream: GmmStream) -> jax.Array:
 
 
 def log_state_emission(
-    frames: jax.Array, streams: tuple[GmmStream, ...]
+    frames, streams: tuple[GmmStream, ...]
 ) -> jax.Array:
     """log b_i(o_t): per-state emission log-likelihood, product over streams.
 
     Equivalent (in log space) to the product over parameters in `calc_alpha`
     (T1:1437-1441).  Returns (T, S).
+
+    frames: (T, D) shared across streams, or a tuple of per-stream (T, D_p)
+    arrays — the reference reads one feature file per stream (R2:331-339),
+    so multi-stream decode/scoring passes per-stream frames here.
     """
+    per_stream = (
+        tuple(frames)
+        if isinstance(frames, (tuple, list))
+        else (frames,) * len(streams)
+    )
+    if len(per_stream) != len(streams):
+        raise ValueError(
+            f"{len(streams)} streams need {len(streams)} frame sets, "
+            f"got {len(per_stream)}"
+        )
     total = None
-    for stream in streams:
+    for frames, stream in zip(per_stream, streams):
         lg = log_gauss(frames, stream)  # (T, S, M)
         logw = jnp.log(stream.weights.astype(frames.dtype))
         per_state = jax.nn.logsumexp(lg + logw[None], axis=-1)  # (T, S)

@@ -876,3 +876,103 @@ def test_fused_decode_full_cov_matches_block_engine():
         )[0]
         assert results[bi][1] == ref[1], (bi, results[bi][1], ref[1])
         np.testing.assert_allclose(results[bi][0], ref[0], rtol=2e-5)
+
+
+def _two_stream_word(seed, S=3, D1=4, D2=3):
+    """A 2-stream model: stream dims differ (the reference reads one
+    feature file per stream, R2:331-339)."""
+    rng = np.random.default_rng(seed)
+
+    def stream(D, scale):
+        means = rng.normal(size=(S, 1, D)) * scale
+        var = np.full((S, 1, D), 1.0)
+        return GmmStream(
+            weights=jnp.ones((S, 1)),
+            means=jnp.asarray(means),
+            inv_cov=jnp.asarray(1.0 / var),
+            det=jnp.asarray(np.prod(var, -1)),
+            cov_type=DIAG,
+        )
+
+    return GmmHmm(
+        trans=init_left_right_trans(S),
+        streams=(stream(D1, 6.0), stream(D2, 5.0)),
+        word=f"w{seed}",
+    )
+
+
+def test_multistream_decode_replicated_equals_single(vocab):
+    """Round 5: multi-stream CONTINUOUS decode (XLA block engine).  A
+    2-stream vocab whose streams are identical copies, fed the same
+    frames per stream, must decode the same word string as the
+    single-stream vocab with exactly doubled acoustic scores."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    truth = [1, 4, 2]
+    frames = np.concatenate(
+        [_sample_word(jax.tree.map(lambda a: a[w], vocab.replace(word="")), rng)
+         for w in truth]
+    )
+    dup = vocab.replace(
+        streams=(vocab.streams[0], vocab.streams[0]), word=vocab.word
+    )
+    single = decode_continuous(vocab, jnp.asarray(frames), n_best=1)[0]
+    multi = decode_continuous(
+        dup, (jnp.asarray(frames), jnp.asarray(frames)), n_best=1
+    )[0]
+    assert multi[1] == single[1] == truth
+    # acoustic part doubles; LM/graph part stays -> just check decode agrees
+    lb1 = np.asarray(composed_emissions(vocab, jnp.asarray(frames)))
+    lb2 = np.asarray(
+        composed_emissions(dup, (jnp.asarray(frames), jnp.asarray(frames)))
+    )
+    np.testing.assert_allclose(lb2, 2.0 * lb1, rtol=1e-5)
+
+
+def test_multistream_decode_genuine_two_streams():
+    """Genuine 2-stream decode with different per-stream dims: sampling
+    both streams from word w's means must recover the word string, and a
+    deliberately conflicting second stream must change the outcome (the
+    second stream really participates)."""
+    words = [_two_stream_word(i) for i in range(4)]
+    vocab2 = stack_models(words)
+    rng = np.random.default_rng(7)
+    truth = [2, 0, 3]
+
+    def sample(widx, stream_idx, wrong=None):
+        mu = np.asarray(words[widx if wrong is None else wrong]
+                        .streams[stream_idx].means)[:, 0]
+        return np.concatenate(
+            [mu[[s]] + 0.1 * rng.normal(size=(4, mu.shape[1])) for s in range(3)]
+        )
+
+    f1 = np.concatenate([sample(w, 0) for w in truth])
+    f2 = np.concatenate([sample(w, 1) for w in truth])
+    hyp = decode_continuous(
+        vocab2, (jnp.asarray(f1), jnp.asarray(f2)), n_best=1
+    )[0]
+    assert hyp[1] == truth
+
+    # batched entry point: tuple of UtteranceBatch per stream
+    from srhmm_tpu.io.dataset import pack_utterances
+
+    b1 = pack_utterances([f1], pad_multiple=8)
+    b2 = pack_utterances([f2], pad_multiple=8)
+    from srhmm_tpu.decode.continuous import decode_continuous_batch
+
+    out = decode_continuous_batch(vocab2, (b1, b2), n_best=1)
+    assert out[0][1] == truth
+
+    # stream-2 evidence flipped to a different word on purpose: the joint
+    # decode must NOT simply reproduce stream 1's string for that segment
+    f2_conflict = np.concatenate(
+        [sample(truth[0], 1, wrong=1), sample(truth[1], 1), sample(truth[2], 1)]
+    )
+    lb_match = np.asarray(
+        composed_emissions(vocab2, (jnp.asarray(f1), jnp.asarray(f2)))
+    )
+    lb_conf = np.asarray(
+        composed_emissions(vocab2, (jnp.asarray(f1), jnp.asarray(f2_conflict)))
+    )
+    assert not np.allclose(lb_match, lb_conf)
