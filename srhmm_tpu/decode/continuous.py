@@ -799,17 +799,19 @@ def token_passing_fused_kn(
     batch,
     n_best: int,
     k_block: int = 2,
+    w_blk: int | None = None,
     interpret: bool | None = None,
 ):
     """Batched general n_best=K word-loop Viterbi on the fused K-slot
     kernel (ops/pallas/decode_pallas.py word_loop_decode_kn_pallas) —
-    unigram-decomposable AND (late round 4) genuine bigram arcs, the
-    latter auto-padding state counts and gated by the (W, W, B)
-    take-counter VMEM budget (W <~ 100 at B=128; larger bigram K>2
-    graphs stay on the XLA engine).  K=2 callers should prefer
-    token_passing_fused_k2.  Returns (final (K, W*s_eff, B), bps
-    (T, K, W*s_eff, B) int32 flat src*K + k, trimmed to the original B,
-    s_eff)."""
+    unigram-decomposable AND genuine bigram arcs, the latter
+    auto-padding state counts.  Round 5: the kernel tiles the bigram
+    take-counter's destination axis (w_blk, auto-chosen from the VMEM
+    budget), so W=200-class bigram K>2 graphs run fused — only graphs
+    needing > 64 destination blocks keep the XLA engine (compile-time
+    unroll cap).  K=2 callers should prefer token_passing_fused_k2.
+    Returns (final (K, W*s_eff, B), bps (T, K, W*s_eff, B) int32 flat
+    src*K + k, trimmed to the original B, s_eff)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_kn_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
@@ -832,11 +834,17 @@ def token_passing_fused_kn(
     unigram = bool(np.allclose(arc, arc[0:1]))
     s_eff = S
     if not unigram:
-        # ~4 live (W, W, B) f32/int32 planes per take-counter pass
-        if W * W * 128 * 4 * 4 > 32 * 1024 * 1024:
+        # round 5: the kernel tiles the destination axis, so the (W, W, B)
+        # take-counter plane no longer gates W directly — only the
+        # destination-block COUNT (statically unrolled per frame) is
+        # capped so Mosaic compile time stays bounded
+        _B128 = -(-batch.features.shape[0] // 128) * 128
+        _cap = max(1, (24 * 1024 * 1024) // (16 * W * _B128))
+        _w_blk = max(d for d in range(1, W + 1) if W % d == 0 and d <= _cap)
+        if W // _w_blk > 64:
             raise ValueError(
-                "token_passing_fused_kn: bigram (W, W, B) take-counter "
-                "working set exceeds the VMEM budget — use "
+                "token_passing_fused_kn: bigram destination tiling would "
+                "unroll > 64 blocks at this (W, B) — use "
                 "token_passing_blocks"
             )
         if S % 8 != 0:
@@ -876,7 +884,8 @@ def token_passing_fused_kn(
         jnp.asarray(arc_col, jnp.float32),
         jnp.asarray(entry_col, jnp.float32),
         lengths, s_word=s_eff, band=band, n_best=n_best, k_block=k_block,
-        exit_col=exit_col, bias_g=bias_g, logw=logw, interpret=interpret,
+        exit_col=exit_col, bias_g=bias_g, logw=logw, w_blk=w_blk,
+        interpret=interpret,
     )
     return final[:, :, :B], bps[:, :, :, :B], s_eff
 

@@ -744,7 +744,7 @@ def _topk_insert(vals, ids, v, i):
 
 
 def _decode_kn_kernel(
-    n_mix, n_dim, k_block, band, s_word, K, bigram, full,
+    n_mix, n_dim, k_block, band, s_word, K, bigram, full, w_blk,
     feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
     entry_ref, exit_ref,
     *rest_refs,
@@ -755,7 +755,12 @@ def _decode_kn_kernel(
     counter generalizes to a per-(source, destination) pair (W, W, B)
     int32 — per destination, a source word's next-best exit token after
     t takes is its plane t, so the global top-K per destination is K
-    masked max-reductions over the (W_src, W_dst, B) candidate block."""
+    masked max-reductions over the (W_src, W_dst, B) candidate block.
+    Round 5: the destination axis is TILED in blocks of w_blk (take
+    counters for different destinations are independent), so only
+    (W_src, w_blk, B) planes are live at once and W=200-class bigram
+    K>2 graphs fit VMEM (the round-4 W<~100 gate is lifted; w_blk is
+    chosen by the wrapper from the VMEM budget, 1 in the worst case)."""
     if bigram:
         exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
     else:
@@ -803,47 +808,68 @@ def _decode_kn_kernel(
             # source's next-best token after t takes IS plane t)
             bp_x = []
             if bigram:
-                # per-(source, destination) take counter over the
-                # (W_src, W_dst, B) candidate block
+                # per-(source, destination) take counter, DESTINATION-TILED
+                # (round 5): destination blocks of w_blk are independent
+                # (each dst consumes its own source-plane counters), so
+                # only (W_src, w_blk, B) planes are live at once
                 e_w = [
                     jnp.max(
                         (c[kk] + exit_ref[:]).reshape(W, s_word, B), axis=1
                     )
                     for kk in range(K)
                 ]  # each (W_src, B), sorted over kk per source
-                arc3 = arc_ref[:][:, :, None]  # (W_src, W_dst, 1)
-                rows3 = jnp.broadcast_to(
-                    exitrow_ref[:][:, :, None], (W, W, B)
-                )
-                tc3 = jnp.zeros((W, W, B), jnp.int32)
+                arc2 = arc_ref[:]  # (W_src, W_dst)
+                exitrow2 = exitrow_ref[:]  # (W_src, 1)
 
                 def spread(v):
                     return jnp.broadcast_to(
                         v[:, None, :], (W, s_word, B)
                     ).reshape(N, B)
 
+                # per take t, per dst block: (m, bp) pieces to concat
+                m_parts = [[] for _ in range(K)]
+                bp_parts = [[] for _ in range(K)]
+                for j0 in range(0, W, w_blk):
+                    arc3 = arc2[:, j0 : j0 + w_blk, None]  # (W, w_blk, 1)
+                    rows3 = jnp.broadcast_to(
+                        exitrow2[:, :, None], (W, w_blk, B)
+                    )
+                    tc3 = jnp.zeros((W, w_blk, B), jnp.int32)
+                    for t in range(K):
+                        cand = jnp.full((W, w_blk, B), neg)
+                        for kk in range(K - 1, -1, -1):
+                            cand = jnp.where(
+                                tc3 == kk, e_w[kk][:, None, :] + arc3, cand
+                            )
+                        m = jnp.max(cand, axis=0)  # (w_blk, B)
+                        amr = jnp.min(
+                            jnp.where(cand == m[None], rows3, jnp.int32(N)),
+                            axis=0,
+                        )  # exit ROW of the chosen source word
+                        is_ch = rows3 == amr[None]
+                        tcs = jnp.min(
+                            jnp.where(is_ch, tc3, jnp.int32(K)), axis=0
+                        )  # plane taken from the chosen source
+                        m_parts[t].append(m)
+                        bp_parts[t].append(amr * jnp.int32(K) + tcs)
+                        tc3 = jnp.where(is_ch, tc3 + jnp.int32(1), tc3)
                 for t in range(K):
-                    cand = jnp.full((W, W, B), neg)
-                    for kk in range(K - 1, -1, -1):
-                        cand = jnp.where(
-                            tc3 == kk, e_w[kk][:, None, :] + arc3, cand
-                        )
-                    m = jnp.max(cand, axis=0)  # (W_dst, B)
-                    amr = jnp.min(
-                        jnp.where(cand == m[None], rows3, jnp.int32(N)),
-                        axis=0,
-                    )  # exit ROW of the chosen source word
-                    is_ch = rows3 == amr[None]
-                    tcs = jnp.min(
-                        jnp.where(is_ch, tc3, jnp.int32(K)), axis=0
-                    )  # plane taken from the chosen source
-                    bp_t = spread(amr * jnp.int32(K) + tcs)  # (N, B)
-                    v = jnp.where(is_entry, spread(m), neg)
+                    m_full = (
+                        m_parts[t][0]
+                        if len(m_parts[t]) == 1
+                        else jnp.concatenate(m_parts[t], axis=0)
+                    )  # (W_dst, B)
+                    bp_full = (
+                        bp_parts[t][0]
+                        if len(bp_parts[t]) == 1
+                        else jnp.concatenate(bp_parts[t], axis=0)
+                    )
+                    bp_t = spread(bp_full)  # (N, B)
+                    v = jnp.where(is_entry, spread(m_full), neg)
                     vals, ids = _topk_insert(
                         vals, ids, v,
                         jnp.full((N, B), n_within + t, jnp.int32),
                     )
-                    tc3 = jnp.where(is_ch, tc3 + jnp.int32(1), tc3)
                     bp_x.append(bp_t)
             else:
                 planes = [jnp.where(is_exit, c[kk], neg) for kk in range(K)]
@@ -910,7 +936,8 @@ def _decode_kn_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("s_word", "band", "n_best", "k_block", "interpret")
+    jax.jit,
+    static_argnames=("s_word", "band", "n_best", "k_block", "w_blk", "interpret"),
 )
 def word_loop_decode_kn_pallas(
     feats_tdb: jax.Array,
@@ -927,6 +954,7 @@ def word_loop_decode_kn_pallas(
     exit_col: jax.Array | None = None,
     bias_g: jax.Array | None = None,
     logw: jax.Array | None = None,
+    w_blk: int | None = None,
     interpret: bool | None = None,
 ):
     """General n_best=K variant: returns (final (K, W*S, B), bp
@@ -949,7 +977,18 @@ def word_loop_decode_kn_pallas(
         assert s_word % 8 == 0, (
             "bigram fused decode requires s_word % 8 == 0 (pad states)"
         )
+        if w_blk is None:
+            # destination-tile width from the VMEM budget: ~4 live
+            # (W_src, w_blk, B) f32/i32 planes per take pass (round 5 —
+            # replaces the round-4 hard W <~ 100 eligibility gate)
+            _W = N // s_word
+            cap = max(1, (24 * 1024 * 1024) // (16 * _W * B))
+            w_blk = max(
+                d for d in range(1, _W + 1) if _W % d == 0 and d <= cap
+            )
+        assert (N // s_word) % w_blk == 0
     else:
+        w_blk = 1
         assert arc_col.shape == (N, 1)
     if exit_col is None:
         rid = jnp.arange(N, dtype=jnp.int32) % jnp.int32(s_word)
@@ -994,7 +1033,10 @@ def word_loop_decode_kn_pallas(
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_kn_kernel, M, D, k_block, band, s_word, K, bigram, full),
+        partial(
+            _decode_kn_kernel, M, D, k_block, band, s_word, K, bigram, full,
+            w_blk,
+        ),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[

@@ -357,13 +357,26 @@ def run_pipeline(
     min_gain: float = 200.0,
     mesh=None,
     pad_multiple: int = 32,
+    cmvn: bool = True,
+    var_floor: float = 1.0e-3,
     verbose: bool = False,
 ) -> PipelineResult:
     """Run the whole framework once, as one system (see module docstring).
 
     mesh: optional data-parallel Mesh — both EM stages then ride the
     shard_map(lax.scan) multi-chip trainers.  Returns aggregate WER over
-    the held-out test set (near-0 expected on clean synthetic speech)."""
+    the held-out test set (near-0 expected on clean synthetic speech).
+
+    cmvn + var_floor are the production numerics levers (on by default):
+    global mean/variance normalization of the MFCC space plus a relative
+    variance floor.  Without them, noisy conditions collapse some mixture
+    variances toward the reference's absolute 1e-5 floor (T1:38), and at
+    inv_cov ~ 1e5 the lifted-GEMM emission cancels catastrophically at
+    MXU default precision (hardware-measured: per-frame log-likelihood
+    errors of ~1e3-1e5 nats — training "log probs" of +1e8 and 83% WER at
+    10 dB SNR, where the CPU run of the identical chain decodes at 0%).
+    In CMVN space variances sit near 1, the floor is meaningful, and the
+    GEMM stays conditioned — the same reasoning as cli/train.py --cmvn."""
     import jax.numpy as jnp
 
     from .decode.continuous import decode_continuous_batch
@@ -395,6 +408,13 @@ def run_pipeline(
 
     train_feats = mfcc_features(train_waves, cfg.frontend)
     test_feats = mfcc_features(test_waves, cfg.frontend)
+    if cmvn:
+        allf = np.concatenate(train_feats, axis=0)
+        g_mean = allf.mean(0)
+        g_std = np.maximum(allf.std(0), 1e-6)
+        norm = lambda fs: [((f - g_mean) / g_std).astype(np.float32) for f in fs]
+        train_feats = norm(train_feats)
+        test_feats = norm(test_feats)  # models live in CMVN space end-to-end
     tick("mfcc")
 
     # monophone transcripts: concatenated word phone strings
@@ -407,6 +427,7 @@ def run_pipeline(
     mono_res = train_embedded(
         mono0, train_feats, phone_seqs,
         max_iterations=max_iterations, mesh=mesh, pad_multiple=pad_multiple,
+        var_floor=var_floor,
     )
     tick("monophone_em")
 
@@ -430,6 +451,7 @@ def run_pipeline(
     tied_res = train_tied(
         tied0, train_feats, unit_seqs,
         max_iterations=tied_iterations, mesh=mesh, pad_multiple=pad_multiple,
+        var_floor=var_floor,
     )
     tick("tied_em")
 

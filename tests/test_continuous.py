@@ -976,3 +976,47 @@ def test_multistream_decode_genuine_two_streams():
         composed_emissions(vocab2, (jnp.asarray(f1), jnp.asarray(f2_conflict)))
     )
     assert not np.allclose(lb_match, lb_conf)
+
+
+def test_fused_decode_kn_bigram_dst_tiling_matches_untiled():
+    """Round 5: the bigram K>2 destination-tiled take counter (w_blk < W)
+    must reproduce the single-block kernel exactly — scores AND
+    backpointers."""
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        token_passing_fused_kn,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import stack_models
+
+    rng = np.random.default_rng(23)
+    W, S, D = 6, 4, 6
+    vocab = stack_models([_word_model(i, S=S, D=D) for i in range(W)]).astype(
+        jnp.float32
+    )
+    lm = np.log(rng.dirichlet(np.ones(W), size=W))
+    graph = compose_word_loop_blocks(vocab, lm_logprobs=lm)
+    utts = []
+    for b in range(2):
+        frames = []
+        for w in rng.integers(0, W, size=3):
+            mu = np.asarray(vocab.streams[0].means)[w]
+            for s in range(S):
+                for _ in range(3):
+                    frames.append(mu[s, 0] + 0.4 * rng.normal(size=D))
+        utts.append(np.asarray(frames))
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+
+    ref_f, ref_bp, s_eff = token_passing_fused_kn(
+        vocab, graph, batch, n_best=3, k_block=1, w_blk=W, interpret=True
+    )
+    for wb in (1, 2, 3):
+        got_f, got_bp, s2 = token_passing_fused_kn(
+            vocab, graph, batch, n_best=3, k_block=1, w_blk=wb, interpret=True
+        )
+        assert s2 == s_eff
+        np.testing.assert_array_equal(np.asarray(got_bp), np.asarray(ref_bp))
+        rf, gf = np.asarray(ref_f), np.asarray(got_f)
+        fin = np.isfinite(rf)
+        assert (np.isfinite(gf) == fin).all()
+        np.testing.assert_allclose(gf[fin], rf[fin], rtol=1e-6)
