@@ -313,14 +313,31 @@ def config4(rng):
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
 
-    models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
-    float(lp)  # forced fetch: block_until_ready does not sync on this backend
+    # PRODUCTION path (round 5): the train_embedded driver runs iterations
+    # as device-side scans (_embedded_chunk) — per-step program dispatches
+    # over the tunneled backend cost several ms each and dominated the
+    # round-4 numbers (7.1 ms/step dispatched vs 1.65 ms/step in-scan,
+    # hardware-measured, scratch/r5_gamma_ab.py)
+    from ..train.embedded import _embedded_chunk
+
+    packed = ((transcripts, feats, lengths),)
+    k = 10
+    mm, lps, _ = _embedded_chunk(models, packed, k, 0.0, True)
+    float(lps[-1])  # forced fetch: block_until_ready does not sync here
     t0 = time.perf_counter()
-    n = 5
+    n = 3
     for _ in range(n):
+        mm, lps, _ = _embedded_chunk(mm, packed, k, 0.0, True)
+    float(lps[-1])
+    dt = (time.perf_counter() - t0) / (n * k)
+    # single-dispatch step (the round-4 metric) for continuity
+    models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
+    float(lp)
+    t0 = time.perf_counter()
+    for _ in range(5):
         models, lp, _nv = embedded_em_step(models, transcripts, feats, lengths)
     float(lp)
-    dt = (time.perf_counter() - t0) / n
+    dt_step = (time.perf_counter() - t0) / 5
     # in-session XLA reference point (2 iterations; the XLA composed path
     # is several-fold slower, n=2 bounds bench time)
     mx, lpx, _ = embedded_em_step(models, transcripts, feats, lengths, fused=False)
@@ -332,6 +349,7 @@ def config4(rng):
     dt_x = (time.perf_counter() - t0) / 2
     return {"config": 4, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "per_dispatch_value": round(B * T * FRAME_SHIFT_S / dt_step, 1),
             "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1)}
 
 
@@ -365,6 +383,21 @@ def config5(rng):
     feats = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
 
+    # PRODUCTION path (round 5): the train_tied driver's device-side scan
+    # (_tied_chunk) — per-step dispatches dominated the round-4 numbers
+    # (see config4 note; 11.2 ms/step dispatched vs 2.2 ms in-scan)
+    from ..train.tied import _tied_chunk
+
+    packed = ((transcripts, feats, lengths),)
+    k = 10
+    tt, lps, _ = _tied_chunk(tied, packed, k, 0.1, True)
+    float(lps[-1])
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        tt, lps, _ = _tied_chunk(tt, packed, k, 0.1, True)
+    float(lps[-1])
+    dt = (_time.perf_counter() - t0) / (3 * k)
+
     new_tied, lp, nv = tied_em_step(tied, transcripts, feats, lengths, var_floor=0.1)
     float(lp)
     t0 = _time.perf_counter()
@@ -373,7 +406,7 @@ def config5(rng):
     for _ in range(n):
         cur, lp, nv = tied_em_step(cur, transcripts, feats, lengths, var_floor=0.1)
     float(lp)
-    dt = (_time.perf_counter() - t0) / n
+    dt_step = (_time.perf_counter() - t0) / n
     tx, lpx, _ = tied_em_step(cur, transcripts, feats, lengths, var_floor=0.1, fused=False)
     float(lpx)
     t0 = _time.perf_counter()
@@ -383,6 +416,7 @@ def config5(rng):
     dt_x = (_time.perf_counter() - t0) / 2
     return {"config": 5, "metric": "em_audio_s_per_s",
             "value": round(B * T * FRAME_SHIFT_S / dt, 1),
+            "per_dispatch_value": round(B * T * FRAME_SHIFT_S / dt_step, 1),
             "xla_value": round(B * T * FRAME_SHIFT_S / dt_x, 1),
             "senones": N, "units": P, "devices": len(jax.devices())}
 

@@ -121,6 +121,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--data-parallel", type=int, default=None, metavar="N")
     ap.add_argument("--pad-multiple", type=int, default=32)
+    ap.add_argument(
+        "--var-floor", type=float, default=0.0,
+        help="relative variance floor on top of the reference's absolute "
+        "1e-5 (recommended ~1e-3 of the feature variance scale at MXU "
+        "precision; see pipeline.run_pipeline's CMVN note)",
+    )
     ap.add_argument("--size-t-width", type=int, default=4)
     ns = ap.parse_args(argv)
 
@@ -202,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
         res = train_tied(
             tied0, feats, transcripts,
             threshold=ns.threshold, max_iterations=ns.max_iters,
+            var_floor=ns.var_floor,
             pad_multiple=ns.pad_multiple, chunk=ns.chunk, mesh=mesh,
             checkpoint_dir=ns.checkpoint_dir,
         )
@@ -223,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         res = train_embedded(
             models, feats, transcripts,
             threshold=ns.threshold, max_iterations=ns.max_iters,
+            var_floor=ns.var_floor,
             pad_multiple=ns.pad_multiple, chunk=ns.chunk, mesh=mesh,
             checkpoint_dir=ns.checkpoint_dir,
         )

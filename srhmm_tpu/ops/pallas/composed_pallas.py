@@ -623,6 +623,171 @@ def _bank_mom_kernel(
                     mom_refs[p][i] += mom3[j]
 
 
+def _bank_mom_tsb_kernel(
+    LS, Mps, Ds, full,
+    ids_ref, *refs,
+):
+    """_bank_mom_kernel consuming gamma in the LATTICE layout (T, LSp, G)
+    — the layout K_B writes — with the per-utterance transpose done ONCE
+    per grid step in VMEM (round 5): the XLA (T, LS, B) -> (B, LS, T)
+    gamma transpose (a full HBM round-trip, ~2.4 ms at config 4 on the
+    round-4 session) no longer exists.  The utterance group G is 128 so
+    the gamma block reads full lane tiles, and the per-utterance loop is
+    a fori_loop (static unrolling at G=128 would explode the op count;
+    the per-g body is GEMM-heavy so loop overhead is noise here, unlike
+    the 16 KB bank copies where unrolling was measured necessary)."""
+    P = len(Mps)
+    bank_refs = refs[0:P]
+    bias2_refs = refs[P : 2 * P]
+    f_refs = refs[2 * P : 3 * P]
+    gam_ref = refs[3 * P]
+    mom_refs = refs[3 * P + 1 : 4 * P + 1]
+    gam_scr = refs[4 * P + 1]
+    a_scrs = refs[4 * P + 2 : 5 * P + 2]
+    b_scrs = refs[5 * P + 2 :]
+    G = f_refs[0].shape[0]
+    T = f_refs[0].shape[2]
+    b0 = pl.program_id(0) * jnp.int32(G)
+    neg = jnp.float32(NEG_INF)
+    tiny = jnp.float32(_TINY)
+    neg_half = jnp.float32(NEG_INF / 2)
+    zero = jnp.float32(0.0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for p in range(P):
+            mom_refs[p][:] = jnp.zeros_like(mom_refs[p])
+
+    gam_scr[:] = jnp.transpose(gam_ref[:], (2, 1, 0))  # (G, LSp, T)
+
+    def per_g(g, _):
+        lifts = [_emit_lift(f_refs[p][g], full) for p in range(P)]
+        if full:
+            lift_moms = [
+                jnp.concatenate(
+                    [_lift(f_refs[p][g], True), jnp.ones((1, T), jnp.float32)],
+                    axis=0,
+                )
+                for p in range(P)
+            ]
+        else:
+            lift_moms = lifts
+        b_idx = b0 + g
+        for c0, pcn in _pos_chunks(LS):
+            gm1 = gam_scr[g, c0 : c0 + pcn, :].reshape(pcn, 1, T)
+            for p in range(P):
+                Mp, Cm = Mps[p], mom_refs[p].shape[-1]
+                _assemble_chunk(
+                    ids_ref, bank_refs[p], bias2_refs[p], a_scrs[p],
+                    b_scrs[p], b_idx, c0, pcn, full,
+                )
+                q3 = _chunk_q(
+                    a_scrs[p], b_scrs[p], lifts[p], Mp, Ds[p], pcn, full
+                )
+                m1 = jnp.maximum(jnp.max(q3, axis=1, keepdims=True), neg)
+                e1 = jnp.sum(jnp.exp(q3 - m1), axis=1, keepdims=True)
+                lb1 = jnp.log(jnp.maximum(e1, tiny)) + m1
+                post = jnp.exp(jnp.minimum(q3 - lb1, zero))
+                post = jnp.where(lb1 > neg_half, post, zero)
+                gm2 = (post * gm1).reshape(pcn * Mp, T)
+                mom2 = jax.lax.dot_general(
+                    gm2, lift_moms[p], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                mom3 = mom2.reshape(pcn, Mp, Cm)
+                for j in range(pcn):  # sequential RMW: repeats accumulate
+                    i = ids_ref[b_idx, jnp.int32(c0 + j)]
+                    mom_refs[p][i] += mom3[j]
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), per_g, jnp.int32(0))
+
+
+@partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
+def bank_moments_lattice_pallas(
+    ids: jax.Array,
+    bank,
+    bias2,
+    feats_bdt,
+    gamma_tsb: jax.Array,
+    n_mix_p,
+    full: bool = False,
+    group: int = 128,
+    interpret: bool | None = None,
+):
+    """bank_moments_pallas consuming gamma in K_B's (T, LSp, B) lattice
+    layout directly — no XLA transpose, no extra HBM traffic (round 5).
+    gamma rows past LS are ignored (NEG_INF-filler positions are never
+    addressed by the position chunks).  B must be a multiple of `group`
+    (default 128: full-lane gamma block reads)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    multi = isinstance(bank, tuple)
+    banks, bias2s, featss, mps = _norm_streams(bank, bias2, feats_bdt, n_mix_p)
+    P = len(banks)
+    B, LS = ids.shape
+    T = featss[0].shape[2]
+    LSp = gamma_tsb.shape[1]
+    ds = tuple(f.shape[1] for f in featss)
+    rs = [(d * m if full else m) for d, m in zip(ds, mps)]
+    cs = [((d + 1) if full else (2 * d + 1)) for d in ds]
+    cms = [((d + d * d + 1) if full else (2 * d + 1)) for d in ds]
+    nbs = [bk.shape[0] for bk in banks]
+    for p in range(P):
+        assert banks[p].shape[1:] == (rs[p], cs[p]) and mps[p] % 8 == 0
+    assert B % group == 0 and LSp >= LS
+    assert gamma_tsb.shape == (T, LSp, B)
+    G = group
+    blk3 = lambda b, ids: (b, 0 * b, 0 * b)
+    fix3 = lambda b, ids: (0 * b,) * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // G,),
+        in_specs=(
+            [pl.BlockSpec(bk.shape, fix3, memory_space=pltpu.VMEM) for bk in banks]
+            + [pl.BlockSpec(b2.shape, fix3, memory_space=pltpu.VMEM) for b2 in bias2s]
+            + [
+                pl.BlockSpec((G, d, T), blk3, memory_space=pltpu.VMEM)
+                for d in ds
+            ]
+            + [
+                pl.BlockSpec(
+                    (T, LSp, G), lambda b, ids: (0 * b, 0 * b, b),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+        ),
+        out_specs=[
+            pl.BlockSpec((nbs[p], mps[p], cms[p]), fix3, memory_space=pltpu.VMEM)
+            for p in range(P)
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((G, LSp, T), jnp.float32)]
+            + [pltpu.VMEM((_POS_CHUNK * r, c), jnp.float32) for r, c in zip(rs, cs)]
+            + [pltpu.VMEM((_POS_CHUNK, m, 2), jnp.float32) for m in mps]
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_bank_mom_tsb_kernel, LS, mps, ds, full),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nbs[p], mps[p], cms[p]), jnp.float32)
+            for p in range(P)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        ids.astype(jnp.int32),
+        *[bk.astype(jnp.float32) for bk in banks],
+        *[b2.astype(jnp.float32) for b2 in bias2s],
+        *[f.astype(jnp.float32) for f in featss],
+        gamma_tsb,
+    )
+    return tuple(out) if multi else out[0]
+
+
 @partial(jax.jit, static_argnames=("n_mix_p", "full", "group", "interpret"))
 def bank_moments_pallas(
     ids: jax.Array,

@@ -211,6 +211,7 @@ def fused_positional_stats(
     cov_full: bool = False,
     k_block: int = 16,
     group: int = 8,
+    gamma_lattice: bool = True,
     interpret: bool | None = None,
 ):
     """Shared fused composed-lattice E-step core (embedded AND tied paths).
@@ -331,11 +332,23 @@ def fused_positional_stats(
     )
 
     # --- moments (lane axis = time; in-kernel bank-row scatter) -----------
-    gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
-    mom = bank_moments_pallas(
-        ids, banks, bias2s, feats_tup, gamma_bst,
-        n_mix_p=mps, full=cov_full, group=group, interpret=interpret,
-    )  # per-stream (NB, Mp, Cm) bank-row accumulators
+    if gamma_lattice:
+        # round 5: the moments kernel consumes K_B's (T, LSp, B) gamma
+        # layout directly (per-grid-step VMEM transpose) — the XLA gamma
+        # transpose, the last HBM round-trip between the kernels, no
+        # longer exists
+        from ..ops.pallas.composed_pallas import bank_moments_lattice_pallas
+
+        mom = bank_moments_lattice_pallas(
+            ids, banks, bias2s, feats_tup, gamma_tsb,
+            n_mix_p=mps, full=cov_full, interpret=interpret,
+        )  # per-stream (NB, Mp, Cm) bank-row accumulators
+    else:  # the round-4 path (kept for A/B measurement and fallback)
+        gamma_bst = jnp.transpose(gamma_tsb[:, :LS, :], (2, 1, 0))  # (B, LS, T)
+        mom = bank_moments_pallas(
+            ids, banks, bias2s, feats_tup, gamma_bst,
+            n_mix_p=mps, full=cov_full, group=group, interpret=interpret,
+        )
     if not multi:
         mom = mom[0]
     den_mix = jnp.transpose(den_mix_sb[:LS], (1, 0)).reshape(B_pad, L, S)[:B]

@@ -641,3 +641,84 @@ def test_fused_vocab_scoring_multi_stream_matches_xla(cov):
     ref = np.asarray(score_batch_log(vocab, (b1, b2), mode="total"))
     finite = np.isfinite(ref)
     np.testing.assert_allclose(via[finite], ref[finite], rtol=1e-4)
+
+
+def test_lattice_moments_kernel_matches_transposed():
+    """Round 5: bank_moments_lattice_pallas (gamma consumed in K_B's
+    (T, LSp, B) layout, per-grid-step VMEM transpose) must equal
+    bank_moments_pallas on pre-transposed gamma — diag AND full cov —
+    and fused_positional_stats must give identical statistics through
+    both gamma paths."""
+    from srhmm_tpu.ops.pallas.composed_pallas import (
+        bank_moments_lattice_pallas,
+        bank_moments_pallas,
+    )
+    from srhmm_tpu.train.embedded import (
+        fused_positional_stats,
+        pack_position_bank_diag,
+        pack_position_bank_full,
+    )
+
+    r = np.random.default_rng(0)
+    B, LS, LSp, T, D, M, NB = 128, 6, 8, 128, 5, 8, 12
+    for full in (False, True):
+        means = r.normal(size=(NB, M, D))
+        if full:
+            a_ = r.normal(size=(NB, M, D, D)) * 0.3
+            cov = a_ @ np.swapaxes(a_, -1, -2) + np.eye(D)
+            ic = np.linalg.inv(cov)
+            lad = np.log(np.abs(np.linalg.det(cov)))
+            bank, bias2 = pack_position_bank_full(
+                jnp.asarray(means, jnp.float32), jnp.asarray(ic, jnp.float32),
+                jnp.asarray(r.uniform(size=(NB, M)), jnp.float32),
+                jnp.asarray(lad, jnp.float32), D,
+            )
+        else:
+            var = r.uniform(0.5, 1.5, size=(NB, M, D))
+            bank = pack_position_bank_diag(
+                jnp.asarray(means, jnp.float32),
+                jnp.asarray(1.0 / var, jnp.float32),
+                jnp.asarray(r.uniform(size=(NB, M)), jnp.float32),
+                jnp.asarray(np.log(var).sum(-1), jnp.float32), D,
+            )
+            bias2 = None
+        ids = jnp.asarray(r.integers(0, NB, size=(B, LS)), jnp.int32)
+        feats = jnp.asarray(r.normal(size=(B, D, T)), jnp.float32)
+        gam_tsb = jnp.asarray(np.abs(r.normal(size=(T, LSp, B))), jnp.float32)
+        gam_bst = jnp.transpose(gam_tsb[:, :LS, :], (2, 1, 0))
+        old = bank_moments_pallas(
+            ids, bank, bias2, feats, gam_bst, n_mix_p=M, full=full,
+            group=8, interpret=True,
+        )
+        new = bank_moments_lattice_pallas(
+            ids, bank, bias2, feats, gam_tsb, n_mix_p=M, full=full,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+    # end-to-end: both gamma paths of the shared E-step core agree
+    L, S = 3, 2
+    pos_logt = jnp.asarray(
+        np.log(np.maximum(np.broadcast_to(
+            np.array([[0.6, 0.4], [0.0, 1.0]]), (B, L, S, S)), 1e-9)),
+        jnp.float32,
+    )
+    feats_btd = jnp.asarray(r.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    var = r.uniform(0.5, 1.5, size=(NB, M, D))
+    bank_d = pack_position_bank_diag(
+        jnp.asarray(r.normal(size=(NB, M, D)), jnp.float32),
+        jnp.asarray(1.0 / var, jnp.float32),
+        jnp.asarray(r.uniform(size=(NB, M)), jnp.float32),
+        jnp.asarray(np.log(var).sum(-1), jnp.float32), D,
+    )
+    ids_ls = jnp.asarray(r.integers(0, NB, size=(B, L * S)), jnp.int32)
+    outs = [
+        fused_positional_stats(
+            ids_ls, bank_d, None, pos_logt, feats_btd, lens, n_mix=M,
+            gamma_lattice=gl, interpret=True,
+        )
+        for gl in (True, False)
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
