@@ -226,16 +226,20 @@ def _fused_decode_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False):
     return (time.perf_counter() - t0) / n / (B * T * FRAME_SHIFT_S)
 
 
-def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False, k_block=4):
-    """Per-utterance RTF of the n_best=2 fused decode kernel (two token
-    planes, in-kernel top-2 merges, round 4; bigram=True runs the
-    per-plane (W, W) contraction)."""
+def _fused_k2_rtf(
+    rng, W, S, M, D, T, B=128, n=5, bigram=False, k_block=4, n_best=2
+):
+    """Per-utterance RTF of the n_best=K fused decode kernels (K=2: two
+    token planes + in-kernel top-2 merges, round 4; K>=3: the K-slot
+    insertion network, with the bigram take counter DESTINATION-TILED
+    since round 5 so W=200 bigram K>2 runs fused)."""
     import jax
     import jax.numpy as jnp
 
     from ..decode.continuous import (
         compose_word_loop_blocks,
         token_passing_fused_k2,
+        token_passing_fused_kn,
     )
     from ..io.dataset import UtteranceBatch
     from ..models import stack_models
@@ -249,9 +253,15 @@ def _fused_k2_rtf(rng, W, S, M, D, T, B=128, n=5, bigram=False, k_block=4):
     batch = UtteranceBatch(features=feats, lengths=jnp.full((B,), T, jnp.int32))
 
     def run():
-        f, b, _ = token_passing_fused_k2(
-            vocab, graph, batch, k_block=k_block, interpret=False
-        )
+        if n_best == 2:
+            f, b, _ = token_passing_fused_k2(
+                vocab, graph, batch, k_block=k_block, interpret=False
+            )
+        else:
+            f, b, _ = token_passing_fused_kn(
+                vocab, graph, batch, n_best=n_best, k_block=1,
+                interpret=False,
+            )
         return float(jnp.max(f[0]) + jnp.max(f[1]))  # forced fetch
 
     run()
@@ -292,6 +302,13 @@ def config3(rng):
             )
             out["k2_bigram_fused_rtf_w200"] = round(k2b, 6)
             out["k2_bigram_fused_w200_audio_s_per_s"] = round(1.0 / k2b, 1)
+            # round 5: W=200 bigram K=3 rides the destination-tiled take
+            # counter (previously W-gated to the XLA engine)
+            k3b = _fused_k2_rtf(
+                rng, W=200, S=8, M=4, D=13, T=1000, bigram=True, n_best=3,
+            )
+            out["k3_bigram_fused_rtf_w200"] = round(k3b, 6)
+            out["k3_bigram_fused_w200_audio_s_per_s"] = round(1.0 / k3b, 1)
     except Exception as e:  # pragma: no cover
         out["fused_decode_error"] = str(e)[:120]
     return out

@@ -818,19 +818,21 @@ def _decode_kn_kernel(
                     )
                     for kk in range(K)
                 ]  # each (W_src, B), sorted over kk per source
-                arc2 = arc_ref[:]  # (W_src, W_dst)
                 exitrow2 = exitrow_ref[:]  # (W_src, 1)
+                n_blk = arc_ref.shape[0]  # arc operand is (n_blk, W, w_blk)
 
                 def spread(v):
                     return jnp.broadcast_to(
                         v[:, None, :], (W, s_word, B)
                     ).reshape(N, B)
 
-                # per take t, per dst block: (m, bp) pieces to concat
+                # per take t, per dst block: (m, bp) pieces; the arc is
+                # PRE-BLOCKED host-side (leading-dim kernel reads — Mosaic
+                # cannot lower lane-axis value slices at unaligned offsets)
                 m_parts = [[] for _ in range(K)]
                 bp_parts = [[] for _ in range(K)]
-                for j0 in range(0, W, w_blk):
-                    arc3 = arc2[:, j0 : j0 + w_blk, None]  # (W, w_blk, 1)
+                for jb in range(n_blk):
+                    arc3 = arc_ref[jb][:, :, None]  # (W, w_blk, 1)
                     rows3 = jnp.broadcast_to(
                         exitrow2[:, :, None], (W, w_blk, B)
                     )
@@ -857,12 +859,12 @@ def _decode_kn_kernel(
                     m_full = (
                         m_parts[t][0]
                         if len(m_parts[t]) == 1
-                        else jnp.concatenate(m_parts[t], axis=0)
-                    )  # (W_dst, B)
+                        else jnp.stack(m_parts[t], axis=0).reshape(W, B)
+                    )  # (W_dst, B) — stack on a NEW leading axis + merge
                     bp_full = (
                         bp_parts[t][0]
                         if len(bp_parts[t]) == 1
-                        else jnp.concatenate(bp_parts[t], axis=0)
+                        else jnp.stack(bp_parts[t], axis=0).reshape(W, B)
                     )
                     bp_t = spread(bp_full)  # (N, B)
                     v = jnp.where(is_entry, spread(m_full), neg)
@@ -1006,6 +1008,15 @@ def word_loop_decode_kn_pallas(
         )[:, None]
     lens = lengths.astype(jnp.float32).reshape(1, B)
     nt = T // k_block
+    arc_op = arc_col
+    if bigram:
+        # pre-block the (W, W) arc into (n_blk, W, w_blk) destination
+        # tiles: the kernel indexes the LEADING axis per block (Mosaic
+        # cannot lower lane-axis value slices at unaligned offsets)
+        _W = N // s_word
+        arc_op = jnp.stack(
+            [arc_col[:, j0 : j0 + w_blk] for j0 in range(0, _W, w_blk)], 0
+        )
     tvm = lambda shape: pl.BlockSpec(
         shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -1019,13 +1030,13 @@ def word_loop_decode_kn_pallas(
         tvm((M, N, 1)),
         tvm(logw_op.shape),
         tvm((band + 1, N, 1)),
-        tvm(arc_col.shape),
+        tvm(arc_op.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
     operands = [
         feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
-        diag, arc_col, entry_col, exit_col,
+        diag, arc_op, entry_col, exit_col,
     ]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
