@@ -623,8 +623,10 @@ def token_passing_fused(
     recursion + cross-word merge in ONE kernel over all utterances, the
     backpointer lattice as the only large HBM write.
 
-    batch: UtteranceBatch (B, T, D).  Requires a single diagonal stream;
-    n_best=1.  Unigram-decomposable cross arcs (graph.arc rows identical —
+    batch: UtteranceBatch (B, T, D), or a TUPLE of per-stream batches for
+    MULTI-STREAM vocabularies (round 5: per-stream in-kernel emission
+    sums, the reference's product-of-streams semantics R2:352-358);
+    homogeneous diag/full covariance; n_best=1.  Unigram-decomposable cross arcs (graph.arc rows identical —
     uniform/unigram LMs) use the O(W*S) reduction; genuine BIGRAM arcs run
     the in-kernel (W, W) (max, +) contraction (round 4).  Bigram
     vocabularies whose state count is not a multiple of 8 are
@@ -640,15 +642,28 @@ def token_passing_fused(
     from ..ops.pallas.decode_pallas import word_loop_decode_pallas
     from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
-    stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
-        raise ValueError("token_passing_fused: single diag/full-cov stream only")
-    if stream.cov_type == "full":
-        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
-        # planes) must fit VMEM next to the carries/backpointer window
-        _D, _M = stream.dim, stream.num_mixtures
+    batches = batch if isinstance(batch, (tuple, list)) else (batch,)
+    P_s = len(vocab.streams)
+    if len(batches) != P_s:
+        raise ValueError(
+            f"token_passing_fused: {P_s} streams need {P_s} feature batches"
+        )
+    cov_types = {st.cov_type for st in vocab.streams}
+    if cov_types - {"diag", "full"} or len(cov_types) != 1:
+        raise ValueError(
+            "token_passing_fused: homogeneous diag/full-cov streams only"
+        )
+    cov = vocab.streams[0].cov_type
+    if cov == "full":
+        # the d-major z-GEMM's (D*M*nb_pad, B) working sets (~2 live f32
+        # planes per stream) must fit VMEM next to the carries/backpointer
+        # window
         _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
-        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
+        zbytes = sum(
+            st.dim * st.num_mixtures * _N8 * 128 * 4 * 2
+            for st in vocab.streams
+        )
+        if zbytes > 48 * 1024 * 1024:
             raise ValueError(
                 "token_passing_fused: full-cov z-GEMM working set exceeds the VMEM "
                 "budget — use the XLA engine"
@@ -667,18 +682,32 @@ def token_passing_fused(
             s_eff = -(-S // 8) * 8
             vocab = _pad_vocab_states(vocab, s_eff)
     N = W * s_eff
-    feats = batch.features
-    lengths = batch.lengths
-    B, T, D = feats.shape
+    lengths = batches[0].lengths
+    B, T = batches[0].features.shape[:2]
     pad_b = (-B) % 128
     pad_t = (-T) % k_block
+    featss = [b.features for b in batches]
     if pad_b or pad_t:
-        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
+        featss = [
+            jnp.pad(f, ((0, pad_b), (0, pad_t), (0, 0))) for f in featss
+        ]
         lengths = jnp.pad(lengths, (0, pad_b))
 
-    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    if stream.cov_type != "full":
-        bias_g = logw = None
+    packs = [
+        pack_vocab_constants(vocab, jnp.float32, stream=p)
+        for p in range(P_s)
+    ]
+    band = packs[0][5]
+    a = tuple(pk[0] for pk in packs)
+    bias = tuple(pk[2] for pk in packs)
+    diag = packs[0][4]
+    if cov == "full":
+        bias_g = tuple(pk[1] for pk in packs)
+        logw = tuple(pk[3] for pk in packs)
+    else:
+        bias_g = logw = (None,) * P_s
+    if P_s == 1:
+        a, bias, bias_g, logw = a[0], bias[0], bias_g[0], logw[0]
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -693,7 +722,11 @@ def token_passing_fused(
         ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
-    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
+    feats_tdb = tuple(
+        jnp.transpose(f.astype(jnp.float32), (1, 2, 0)) for f in featss
+    )
+    if P_s == 1:
+        feats_tdb = feats_tdb[0]
     final, bps = word_loop_decode_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
@@ -925,6 +958,45 @@ def decode_continuous_batch(
     summed in log space (R2:352-358 product-of-streams lifted to the
     word loop)."""
     if isinstance(batch, (tuple, list)) and len(vocab.streams) > 1:
+        if n_best == 1:
+            # round 5: multi-stream rides the fused K=1 kernel (per-stream
+            # in-kernel emission sums); ineligible graphs fall through to
+            # the per-utterance engine below
+            try:
+                graph = compose_word_loop_blocks(
+                    vocab, lm_logprobs=lm_logprobs,
+                    exit_logprob=exit_logprob, lm_scale=lm_scale,
+                    word_insertion_penalty=word_insertion_penalty,
+                    lm_initial=lm_initial,
+                )
+                final, bps, s_eff = token_passing_fused(
+                    vocab, graph, tuple(batch), k_block=k_block,
+                    interpret=interpret,
+                )
+                W = vocab.trans.shape[0]
+                S = vocab.trans.shape[-1]
+                fin = np.asarray(final)
+                exit_rows = np.arange(W) * s_eff + (S - 1)
+                best_states = exit_rows[np.argmax(fin[exit_rows], axis=0)]
+                paths = np.asarray(
+                    backtrace_batch_device(
+                        bps, jnp.asarray(best_states, jnp.int32)
+                    )
+                )
+                lengths_np = np.asarray(batch[0].lengths)
+                out = []
+                for b in range(fin.shape[1]):
+                    L = int(lengths_np[b])
+                    if L <= 0:
+                        out.append((float("-inf"), [], []))
+                        continue
+                    words, spans = _words_from_path(
+                        paths[:L, b], s_eff, exit_off=S - 1
+                    )
+                    out.append((float(fin[best_states[b], b]), words, spans))
+                return out
+            except ValueError:
+                pass
         lengths_np = np.asarray(batch[0].lengths)
         out = []
         for b in range(batch[0].features.shape[0]):

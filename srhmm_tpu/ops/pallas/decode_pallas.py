@@ -169,15 +169,16 @@ def _emission_operands(a, bias_g, logw, D):
 
 
 def _decode_kernel(
-    n_mix, n_dim, k_block, band, s_word, bigram, full,
-    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
-    entry_ref, exit_ref,
-    *rest_refs,
+    mixes, dims, k_block, band, s_word, bigram, full,
+    *refs,
 ):
-    """Grid: ascending time blocks.  Block shapes: feats (k_block, D, B);
-    a (M, N, 2D) diag | (1, D*M*nb_pad, D) full (the scoring kernel's
-    d-major z-GEMM layout); bias_g / logw: full-cov operands ((1, 1, 1)
-    dummies for diag); bias (M, N, 1); diag (band+1, N, 1); arc: (N, 1)
+    """Grid: ascending time blocks.  Emission operands come in PER-STREAM
+    groups (round 5: multi-stream decode — per-stream mixture logsumexps
+    sum into one composed log_b, the reference's product-of-streams
+    semantics R2:352-358): feats (k_block, D_p, B); a (M_p, N, 2D_p) diag
+    | (1, D_p*M_p*nb_pad, D_p) full (the scoring kernel's d-major z-GEMM
+    layout); bias_g / logw: full-cov operands ((1, 1, 1) dummies for
+    diag); bias (M_p, N, 1).  Then: diag (band+1, N, 1); arc: (N, 1)
     per-destination cross-arc weight at entry rows (unigram) or (W, W)
     full bigram arc matrix; entry (N, 1) initial score at entry rows,
     NEG_INF elsewhere; exit (N, 1) additive exit mask (0.0 at each word's
@@ -186,6 +187,14 @@ def _decode_kernel(
     global row index of each word's exit; len (1, B).  Outputs: bp
     (k_block, N, B) int32 source-row backpointers; final (N, B)
     last-frame scores.  Scratch: la (N, B) token carry."""
+    P = len(mixes)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    diag_ref, arc_ref, entry_ref, exit_ref = refs[5 * P : 5 * P + 4]
+    rest_refs = refs[5 * P + 4 :]
     if bigram:
         exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
     else:
@@ -202,10 +211,13 @@ def _decode_kernel(
     is_entry = row_in_word == jnp.int32(0)
 
     for k in range(k_block):
-        log_b = _frame_log_b(
-            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
-            n_mix, n_dim, N, full,
-        )
+        log_b = None
+        for p in range(P):
+            lb_p = _frame_log_b(
+                feats_refs[p][k], a_refs[p], bias_g_refs[p], bias_refs[p],
+                logw_refs[p], mixes[p], dims[p], N, full,
+            )
+            log_b = lb_p if log_b is None else log_b + lb_p
 
         def first():
             return jnp.maximum(entry_ref[:] + log_b, neg), row
@@ -312,12 +324,34 @@ def word_loop_decode_pallas(
     token_passing_fused does); entry_col: (W*S, 1) initial score
     (NEG_INF off entry rows); exit_col: optional (W*S, 1) additive exit
     mask — 0.0 at each word's exit row, NEG_INF elsewhere (defaults to
-    exit = last state of every word)."""
+    exit = last state of every word).
+
+    MULTI-STREAM (round 5): pass tuples for feats_tdb / a / bias (and
+    bias_g / logw for full cov) — one entry per stream, homogeneous
+    covariance; per-stream mixture logsumexps sum in-kernel (the
+    reference's product-of-streams emission, R2:352-358)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    T, D, B = feats_tdb.shape
-    N = a.shape[1]
-    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    multi = isinstance(feats_tdb, tuple)
+    featss = feats_tdb if multi else (feats_tdb,)
+    a_s = a if multi else (a,)
+    bias_s = bias if multi else (bias,)
+    P_s = len(featss)
+    bias_g_s = bias_g if isinstance(bias_g, tuple) else (bias_g,) * P_s
+    logw_s = logw if isinstance(logw, tuple) else (logw,) * P_s
+    T, _, B = featss[0].shape
+    ds = tuple(f.shape[1] for f in featss)
+    N = a_s[0].shape[1]
+    ems = [
+        _emission_operands(a_s[p], bias_g_s[p], logw_s[p], ds[p])
+        for p in range(P_s)
+    ]
+    full = ems[0][0]
+    assert all(e[0] == full for e in ems), "homogeneous covariance only"
+    mixes = tuple(e[1] for e in ems)
+    a_ops = [e[2] for e in ems]
+    bias_g_ops = [e[3] for e in ems]
+    logw_ops = [e[4] for e in ems]
     assert N % s_word == 0 and T % k_block == 0
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
     if bigram:
@@ -347,28 +381,34 @@ def word_loop_decode_pallas(
     tblk = lambda shape: pl.BlockSpec(
         shape, lambda t: (t, 0 * t, 0 * t), memory_space=pltpu.VMEM
     )
-    in_specs = [
-        tblk((k_block, D, B)),
-        tvm(a_op.shape),
-        tvm(bias_g_op.shape),
-        tvm((M, N, 1)),
-        tvm(logw_op.shape),
-        tvm((band + 1, N, 1)),
-        tvm(arc_col.shape),
-        tvm((N, 1)),
-        tvm((N, 1)),
-    ]
-    operands = [
-        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
-        diag, arc_col, entry_col, exit_col,
-    ]
+    in_specs = (
+        [tblk((k_block, d, B)) for d in ds]
+        + [tvm(a_op.shape) for a_op in a_ops]
+        + [tvm(bg.shape) for bg in bias_g_ops]
+        + [tvm((mixes[p], N, 1)) for p in range(P_s)]
+        + [tvm(lw.shape) for lw in logw_ops]
+        + [
+            tvm((band + 1, N, 1)),
+            tvm(arc_col.shape),
+            tvm((N, 1)),
+            tvm((N, 1)),
+        ]
+    )
+    operands = (
+        [f.astype(jnp.float32) for f in featss]
+        + a_ops
+        + bias_g_ops
+        + list(bias_s)
+        + logw_ops
+        + [diag, arc_col, entry_col, exit_col]
+    )
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
         operands.append(exit_row)
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_kernel, M, D, k_block, band, s_word, bigram, full),
+        partial(_decode_kernel, mixes, ds, k_block, band, s_word, bigram, full),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[

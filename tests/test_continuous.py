@@ -1020,3 +1020,56 @@ def test_fused_decode_kn_bigram_dst_tiling_matches_untiled():
         fin = np.isfinite(rf)
         assert (np.isfinite(gf) == fin).all()
         np.testing.assert_allclose(gf[fin], rf[fin], rtol=1e-6)
+
+
+def test_multistream_fused_decode_matches_block_engine():
+    """Round 5: the fused K=1 kernel accepts per-stream batch tuples —
+    scores and word strings must match the XLA block engine running on
+    summed per-stream emissions."""
+    from srhmm_tpu.decode.continuous import (
+        compose_word_loop_blocks,
+        decode_continuous_batch,
+        token_passing_blocks,
+        token_passing_fused,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+
+    words = [_two_stream_word(i) for i in range(4)]
+    vocab2 = stack_models(words).astype(jnp.float32)
+    rng = np.random.default_rng(31)
+    utts1, utts2, truths = [], [], []
+    for b in range(3):
+        truth = rng.integers(0, 4, size=3).tolist()
+        f1, f2 = [], []
+        for w in truth:
+            for s in range(3):
+                n = 3 + int(rng.integers(0, 2))
+                mu1 = np.asarray(words[w].streams[0].means)[s, 0]
+                mu2 = np.asarray(words[w].streams[1].means)[s, 0]
+                f1.append(mu1 + 0.1 * rng.normal(size=(n, 4)))
+                f2.append(mu2 + 0.1 * rng.normal(size=(n, 3)))
+        utts1.append(np.concatenate(f1))
+        utts2.append(np.concatenate(f2))
+        truths.append(truth)
+    b1 = pack_utterances(utts1, pad_multiple=8, dtype=jnp.float32)
+    b2 = pack_utterances(utts2, pad_multiple=8, dtype=jnp.float32)
+
+    graph = compose_word_loop_blocks(vocab2)
+    final, bps, s_eff = token_passing_fused(
+        vocab2, graph, (b1, b2), k_block=2, interpret=True
+    )
+    fin = np.asarray(final)
+    for b in range(3):
+        frames = (jnp.asarray(utts1[b]), jnp.asarray(utts2[b]))
+        log_b = composed_emissions(vocab2, frames)
+        fx = np.asarray(token_passing_blocks(graph, log_b, n_best=1)[0])
+        ref, got = fx[:, 0], fin[:, b]
+        finite = np.isfinite(ref)
+        assert (np.isfinite(got) == finite).all()
+        np.testing.assert_allclose(got[finite], ref[finite], rtol=2e-5, atol=1e-3)
+
+    # batched multi-stream entry point rides the fused route and recovers
+    # the word strings
+    out = decode_continuous_batch(vocab2, (b1, b2), n_best=1, interpret=True)
+    for b in range(3):
+        assert out[b][1] == truths[b], (b, out[b][1], truths[b])
