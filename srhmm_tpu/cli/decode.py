@@ -6,9 +6,11 @@ Usage:
         [--lm lm_file] [--lm-scale S] [--word-penalty P] [--batch]
 
 model_list: list file of .hmm paths (the vocabulary); input_list: list file
-of .perfil paths (one utterance each); output_file receives one line per
-utterance:  <perfil>  <score>  <word sequence>, plus N-best blocks when
---n-best > 1.  --ref gives a transcript file (one line per utterance,
+of .perfil paths (one utterance each) — for MULTI-STREAM vocabularies pass
+a comma-separated list of per-stream list files (the reference reads one
+feature file per stream, R2:331-339; round 5); output_file receives one
+line per utterance:  <perfil>  <score>  <word sequence>, plus N-best
+blocks when --n-best > 1.  --ref gives a transcript file (one line per utterance,
 space-separated words) and adds a WER summary.
 
 --lm: language model log-probs — a text file of either W lines (unigram:
@@ -102,16 +104,33 @@ def main(argv: list[str] | None = None) -> int:
     if ns.ref:
         refs = [l.split() for l in open(ns.ref).read().splitlines() if l.strip()]
 
-    paths = list(read_list(ns.input_list))
+    stream_lists = ns.input_list.split(",")
+    n_streams = len(vocab.streams)
+    if len(stream_lists) != n_streams:
+        raise SystemExit(
+            f"vocabulary has {n_streams} stream(s); pass {n_streams} "
+            f"comma-separated input list(s), got {len(stream_lists)}"
+        )
+    per_stream_paths = [list(read_list(sl)) for sl in stream_lists]
+    paths = per_stream_paths[0]
+    if any(len(pp) != len(paths) for pp in per_stream_paths):
+        raise SystemExit("per-stream input lists must have equal lengths")
+    multi = n_streams > 1
     if ns.batch:
         if ns.n_best > 2:
             raise SystemExit("--batch supports n_best <= 2 (fused kernels)")
         from ..io.dataset import pack_utterances
 
-        feats = [np.asarray(read_perfil(p), np.float32) for p in paths]
-        batch = pack_utterances(feats, pad_multiple=128, dtype=jnp.float32)
+        batches = tuple(
+            pack_utterances(
+                [np.asarray(read_perfil(p), np.float32) for p in pp],
+                pad_multiple=128, dtype=jnp.float32,
+            )
+            for pp in per_stream_paths
+        )
         results = decode_continuous_batch(
-            vocab, batch, n_best=ns.n_best, **kwargs
+            vocab, batches if multi else batches[0],
+            n_best=ns.n_best, **kwargs,
         )
         all_hyps = [r if isinstance(r, list) else [r] for r in results]
     else:
@@ -123,9 +142,13 @@ def main(argv: list[str] | None = None) -> int:
             if all_hyps is not None:
                 hyps = all_hyps[i]
             else:
-                frames = jnp.asarray(read_perfil(path), jnp.float32)
+                frames = tuple(
+                    jnp.asarray(read_perfil(pp[i]), jnp.float32)
+                    for pp in per_stream_paths
+                )
                 hyps = decode_continuous(
-                    vocab, frames, n_best=ns.n_best, **kwargs
+                    vocab, frames if multi else frames[0],
+                    n_best=ns.n_best, **kwargs,
                 )
             best_score, best_words, spans = hyps[0]
             hyp_words = [words[w] for w in best_words]

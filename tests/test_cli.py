@@ -422,3 +422,76 @@ def test_train_embedded_cli_end_to_end(tmp_path):
     assert tied_summary["n_senones"] >= 3
     for u in names:
         read_hmm(str(out3 / f"{u}.hmm"))
+
+
+def test_decode_cli_multistream(tmp_path):
+    """Round 5: multi-stream continuous decode from the CLI — one
+    comma-separated input list per stream (the reference's one feature
+    file per stream, R2:331-339)."""
+    import jax.numpy as jnp
+
+    from srhmm_tpu.cli.decode import main as decode_main
+    from srhmm_tpu.io import write_hmm, write_perfil
+    from srhmm_tpu.models import (
+        DIAG, GmmHmm, GmmStream, init_left_right_trans,
+    )
+
+    rng = np.random.default_rng(17)
+    S, D1, D2, W = 3, 4, 3, 3
+
+    def stream(r, D, scale):
+        var = np.full((S, 1, D), 1.0)
+        return GmmStream(
+            weights=jnp.ones((S, 1)),
+            means=jnp.asarray(r.normal(size=(S, 1, D)) * scale),
+            inv_cov=jnp.asarray(1.0 / var),
+            det=jnp.asarray(np.prod(var, -1)),
+            cov_type=DIAG,
+        )
+
+    words = []
+    for w in range(W):
+        r = np.random.default_rng(200 + w)
+        words.append(
+            GmmHmm(
+                trans=init_left_right_trans(S),
+                streams=(stream(r, D1, 6.0), stream(r, D2, 5.0)),
+                word=f"w{w}",
+            )
+        )
+    model_paths = []
+    for m in words:
+        p = tmp_path / f"{m.word}.hmm"
+        write_hmm(p, m)
+        model_paths.append(str(p))
+    (tmp_path / "models.txt").write_text("\n".join(model_paths) + "\n")
+
+    truth = [2, 0, 1]
+    f1, f2 = [], []
+    for w in truth:
+        mu1 = np.asarray(words[w].streams[0].means)[:, 0]
+        mu2 = np.asarray(words[w].streams[1].means)[:, 0]
+        for s in range(S):
+            f1.append(mu1[s] + 0.1 * rng.normal(size=(4, D1)))
+            f2.append(mu2[s] + 0.1 * rng.normal(size=(4, D2)))
+    p1 = tmp_path / "u0_s1.perfil"
+    p2 = tmp_path / "u0_s2.perfil"
+    write_perfil(p1, np.concatenate(f1))
+    write_perfil(p2, np.concatenate(f2))
+    (tmp_path / "list1.txt").write_text(str(p1) + "\n")
+    (tmp_path / "list2.txt").write_text(str(p2) + "\n")
+    (tmp_path / "refs.txt").write_text("w2 w0 w1\n")
+
+    out = tmp_path / "out.txt"
+    rc = decode_main(
+        [
+            str(tmp_path / "models.txt"),
+            f"{tmp_path}/list1.txt,{tmp_path}/list2.txt",
+            str(out),
+            "--ref", str(tmp_path / "refs.txt"),
+        ]
+    )
+    assert rc == 0
+    text = out.read_text()
+    assert "w2 w0 w1" in text
+    assert "WER: 0.00%" in text
