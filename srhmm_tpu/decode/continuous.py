@@ -737,6 +737,73 @@ def token_passing_fused(
     return final[:, :B], bps[:, :, :B], s_eff
 
 
+def _fused_stream_checks(vocab: GmmHmm, batch, name: str):
+    """Shared multi-stream validation for the fused decode wrappers
+    (round 5): returns (batches tuple, cov type).  Homogeneous diag/full
+    streams; one UtteranceBatch per stream; full-cov z-GEMM working sets
+    summed over streams against the VMEM budget."""
+    batches = batch if isinstance(batch, (tuple, list)) else (batch,)
+    P_s = len(vocab.streams)
+    if len(batches) != P_s:
+        raise ValueError(f"{name}: {P_s} streams need {P_s} feature batches")
+    cov_types = {st.cov_type for st in vocab.streams}
+    if cov_types - {"diag", "full"} or len(cov_types) != 1:
+        raise ValueError(f"{name}: homogeneous diag/full-cov streams only")
+    cov = vocab.streams[0].cov_type
+    if cov == "full":
+        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
+        zbytes = sum(
+            st.dim * st.num_mixtures * _N8 * 128 * 4 * 2
+            for st in vocab.streams
+        )
+        if zbytes > 48 * 1024 * 1024:
+            raise ValueError(
+                f"{name}: full-cov z-GEMM working set exceeds the VMEM "
+                "budget — use the XLA engine"
+            )
+    return tuple(batches), cov
+
+
+def _fused_emission_inputs(vocab: GmmHmm, batches, cov, k_block):
+    """Per-stream padded feats + packed constants for the fused decode
+    wrappers; tuples collapse to bare arrays for single-stream vocabs
+    (the kernels' P=1 layout).  Returns (feats_tdb, lengths, B, a, bias,
+    bias_g, logw, diag, band)."""
+    from ..ops.pallas.scoring_pallas import pack_vocab_constants
+
+    lengths = batches[0].lengths
+    B, T = batches[0].features.shape[:2]
+    pad_b = (-B) % 128
+    pad_t = (-T) % k_block
+    featss = [b.features for b in batches]
+    if pad_b or pad_t:
+        featss = [
+            jnp.pad(f, ((0, pad_b), (0, pad_t), (0, 0))) for f in featss
+        ]
+        lengths = jnp.pad(lengths, (0, pad_b))
+    P_s = len(batches)
+    packs = [
+        pack_vocab_constants(vocab, jnp.float32, stream=p)
+        for p in range(P_s)
+    ]
+    band = packs[0][5]
+    diag = packs[0][4]
+    a = tuple(pk[0] for pk in packs)
+    bias = tuple(pk[2] for pk in packs)
+    if cov == "full":
+        bias_g = tuple(pk[1] for pk in packs)
+        logw = tuple(pk[3] for pk in packs)
+    else:
+        bias_g = logw = (None,) * P_s
+    feats_tdb = tuple(
+        jnp.transpose(f.astype(jnp.float32), (1, 2, 0)) for f in featss
+    )
+    if P_s == 1:
+        feats_tdb, a, bias = feats_tdb[0], a[0], bias[0]
+        bias_g, logw = bias_g[0], logw[0]
+    return feats_tdb, lengths, B, a, bias, bias_g, logw, diag, band
+
+
 def token_passing_fused_k2(
     vocab: GmmHmm,
     graph: BlockGraph,
@@ -753,21 +820,8 @@ def token_passing_fused_k2(
     backpointers, trimmed to the original B, s_eff)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_k2_pallas
-    from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
-    stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
-        raise ValueError("token_passing_fused_k2: single diag/full-cov stream only")
-    if stream.cov_type == "full":
-        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
-        # planes) must fit VMEM next to the carries/backpointer window
-        _D, _M = stream.dim, stream.num_mixtures
-        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
-        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
-            raise ValueError(
-                "token_passing_fused_k2: full-cov z-GEMM working set exceeds the VMEM "
-                "budget — use the XLA engine"
-            )
+    batches, cov = _fused_stream_checks(vocab, batch, "token_passing_fused_k2")
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     unigram = bool(np.allclose(arc, arc[0:1]))
@@ -789,18 +843,9 @@ def token_passing_fused_k2(
             s_eff = -(-S // 8) * 8
             vocab = _pad_vocab_states(vocab, s_eff)
     N = W * s_eff
-    feats = batch.features
-    lengths = batch.lengths
-    B, T, D = feats.shape
-    pad_b = (-B) % 128
-    pad_t = (-T) % k_block
-    if pad_b or pad_t:
-        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
-        lengths = jnp.pad(lengths, (0, pad_b))
-
-    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    if stream.cov_type != "full":
-        bias_g = logw = None
+    (feats_tdb, lengths, B, a, bias, bias_g, logw, diag, band) = (
+        _fused_emission_inputs(vocab, batches, cov, k_block)
+    )
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -815,7 +860,6 @@ def token_passing_fused_k2(
         ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
-    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     final, bps = word_loop_decode_k2_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
@@ -847,21 +891,8 @@ def token_passing_fused_kn(
     src*K + k, trimmed to the original B, s_eff)."""
     from ..ops.pallas.decode_pallas import NEG_INF as DNEG
     from ..ops.pallas.decode_pallas import word_loop_decode_kn_pallas
-    from ..ops.pallas.scoring_pallas import pack_vocab_constants
 
-    stream = vocab.streams[0]
-    if len(vocab.streams) != 1 or stream.cov_type not in ("diag", "full"):
-        raise ValueError("token_passing_fused_kn: single diag/full-cov stream only")
-    if stream.cov_type == "full":
-        # the d-major z-GEMM's (D*M*nb_pad, B) working set (~2 live f32
-        # planes) must fit VMEM next to the carries/backpointer window
-        _D, _M = stream.dim, stream.num_mixtures
-        _N8 = -(-(vocab.trans.shape[0] * vocab.trans.shape[-1]) // 8) * 8
-        if _D * _M * _N8 * 128 * 4 * 2 > 48 * 1024 * 1024:
-            raise ValueError(
-                "token_passing_fused_kn: full-cov z-GEMM working set exceeds the VMEM "
-                "budget — use the XLA engine"
-            )
+    batches, cov = _fused_stream_checks(vocab, batch, "token_passing_fused_kn")
     arc = np.asarray(graph.arc, np.float64)
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     unigram = bool(np.allclose(arc, arc[0:1]))
@@ -871,7 +902,7 @@ def token_passing_fused_kn(
         # take-counter plane no longer gates W directly — only the
         # destination-block COUNT (statically unrolled per frame) is
         # capped so Mosaic compile time stays bounded
-        _B128 = -(-batch.features.shape[0] // 128) * 128
+        _B128 = -(-batches[0].features.shape[0] // 128) * 128
         _cap = max(1, (24 * 1024 * 1024) // (16 * W * _B128))
         _w_blk = max(d for d in range(1, W + 1) if W % d == 0 and d <= _cap)
         if W // _w_blk > 64:
@@ -885,18 +916,9 @@ def token_passing_fused_kn(
             vocab = _pad_vocab_states(vocab, s_eff)
         k_block = 1
     N = W * s_eff
-    feats = batch.features
-    lengths = batch.lengths
-    B, T, D = feats.shape
-    pad_b = (-B) % 128
-    pad_t = (-T) % k_block
-    if pad_b or pad_t:
-        feats = jnp.pad(feats, ((0, pad_b), (0, pad_t), (0, 0)))
-        lengths = jnp.pad(lengths, (0, pad_b))
-
-    a, bias_g, bias, logw, diag, band = pack_vocab_constants(vocab, jnp.float32)
-    if stream.cov_type != "full":
-        bias_g = logw = None
+    (feats_tdb, lengths, B, a, bias, bias_g, logw, diag, band) = (
+        _fused_emission_inputs(vocab, batches, cov, k_block)
+    )
     entry_rows = np.arange(W) * s_eff
     if unigram:
         arc_col = np.full((N, 1), DNEG)
@@ -911,7 +933,6 @@ def token_passing_fused_kn(
         ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
-    feats_tdb = jnp.transpose(feats.astype(jnp.float32), (1, 2, 0))
     final, bps = word_loop_decode_kn_pallas(
         feats_tdb, a, bias, diag,
         jnp.asarray(arc_col, jnp.float32),
@@ -958,6 +979,15 @@ def decode_continuous_batch(
     summed in log space (R2:352-358 product-of-streams lifted to the
     word loop)."""
     if isinstance(batch, (tuple, list)) and len(vocab.streams) > 1:
+        if n_best >= 2:
+            # round 5: multi-stream K-best rides the fused K-plane kernels
+            # (per-stream in-kernel emission sums); ineligible graphs fall
+            # back to the per-utterance engine inside _decode_batch_kn
+            return _decode_batch_kn(
+                vocab, tuple(batch), lm_logprobs, exit_logprob, lm_scale,
+                word_insertion_penalty, lm_initial, k_block, n_best,
+                interpret,
+            )
         if n_best == 1:
             # round 5: multi-stream rides the fused K=1 kernel (per-stream
             # in-kernel emission sums); ineligible graphs fall through to
@@ -1106,17 +1136,19 @@ def _decode_batch_kn(
                 k_block=max(1, min(k_block, 8 // K)), interpret=interpret,
             )
     except ValueError:  # ineligible graph: per-utterance XLA engine
-        lengths_np = np.asarray(batch.lengths)
+        batches = batch if isinstance(batch, (tuple, list)) else (batch,)
+        lengths_np = np.asarray(batches[0].lengths)
         out = []
-        for b in range(batch.features.shape[0]):
+        for b in range(batches[0].features.shape[0]):
             L = int(lengths_np[b])
             if L <= 0:
                 out.append([])
                 continue
+            frames = tuple(bb.features[b, :L] for bb in batches)
             out.append(
                 decode_continuous(
                     vocab,
-                    batch.features[b, :L],
+                    frames if len(batches) > 1 else frames[0],
                     lm_logprobs=lm_logprobs,
                     exit_logprob=exit_logprob,
                     lm_scale=lm_scale,
@@ -1154,9 +1186,10 @@ def _decode_batch_kn(
     )  # (T, R, B) token-id paths
     sc = np.asarray(scores_flat)
     ranked_np = np.asarray(ranked)
-    lengths = np.asarray(batch.lengths)
+    b0 = batch[0] if isinstance(batch, (tuple, list)) else batch
+    lengths = np.asarray(b0.lengths)
     out = []
-    for b in range(batch.features.shape[0]):
+    for b in range(b0.features.shape[0]):
         L = int(lengths[b])
         hyps = []
         seen = set()

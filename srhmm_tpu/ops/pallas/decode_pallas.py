@@ -168,6 +168,59 @@ def _emission_operands(a, bias_g, logw, D):
     return full, M, a_op, bg_op, lw_op
 
 
+def _norm_emission_streams(feats_tdb, a, bias, bias_g, logw):
+    """Normalize (possibly multi-stream tuple) emission args: returns
+    (featss, ds, mixes, a_ops, bias_g_ops, bias_list, logw_ops, full,
+    T, B, N) — the per-stream operand groups every decode wrapper feeds
+    its kernel (round 5: multi-stream)."""
+    multi = isinstance(feats_tdb, tuple)
+    featss = feats_tdb if multi else (feats_tdb,)
+    a_s = a if multi else (a,)
+    bias_s = bias if multi else (bias,)
+    P_s = len(featss)
+    bias_g_s = bias_g if isinstance(bias_g, tuple) else (bias_g,) * P_s
+    logw_s = logw if isinstance(logw, tuple) else (logw,) * P_s
+    T, _, B = featss[0].shape
+    ds = tuple(f.shape[1] for f in featss)
+    N = a_s[0].shape[1]
+    ems = [
+        _emission_operands(a_s[p], bias_g_s[p], logw_s[p], ds[p])
+        for p in range(P_s)
+    ]
+    full = ems[0][0]
+    assert all(e[0] == full for e in ems), "homogeneous covariance only"
+    return (
+        [f.astype(jnp.float32) for f in featss], ds,
+        tuple(e[1] for e in ems), [e[2] for e in ems],
+        [e[3] for e in ems], list(bias_s), [e[4] for e in ems],
+        full, T, B, N,
+    )
+
+
+def _emission_specs_ops(featss, ds, mixes, a_ops, bias_g_ops, bias_list,
+                        logw_ops, k_block, B, N):
+    """(in_specs, operands) for the per-stream emission groups, in the
+    kernels' unpack order: feats*, a*, bias_g*, bias*, logw*."""
+    tvm = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
+    )
+    specs = (
+        [
+            pl.BlockSpec(
+                (k_block, d, B), lambda t: (t, 0 * t, 0 * t),
+                memory_space=pltpu.VMEM,
+            )
+            for d in ds
+        ]
+        + [tvm(a_op.shape) for a_op in a_ops]
+        + [tvm(bg.shape) for bg in bias_g_ops]
+        + [tvm((mixes[i], N, 1)) for i in range(len(mixes))]
+        + [tvm(lw.shape) for lw in logw_ops]
+    )
+    ops = list(featss) + a_ops + bias_g_ops + bias_list + logw_ops
+    return specs, ops
+
+
 def _decode_kernel(
     mixes, dims, k_block, band, s_word, bigram, full,
     *refs,
@@ -453,19 +506,26 @@ def _top2_fold(state, v, i):
 
 
 def _decode_k2_kernel(
-    n_mix, n_dim, k_block, band, s_word, bigram, full,
-    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
-    entry_ref, exit_ref,
-    *rest_refs,
+    mixes, dims, k_block, band, s_word, bigram, full,
+    *refs,
 ):
     """n_best=2 word-loop Viterbi.  Shapes as _decode_kernel except:
     outputs bp (k_block, 2, N, B) int32 flat src*2+k backpointers and
-    final (2, N, B); scratch la (2, N, B) two-plane token carry.  BIGRAM
-    (round 4): the (W, W) cross-arc contraction runs per candidate
-    plane — per-destination top-2 over the union of every source word's
-    two exit planes (second-best = max of the runner-up source's best
-    and the winning source's own second, since plane 2 <= plane 1
-    rowwise)."""
+    final (2, N, B); scratch la (2, N, B) two-plane token carry.
+    Emission operands come in per-stream groups like _decode_kernel
+    (round 5: multi-stream).  BIGRAM (round 4): the (W, W) cross-arc
+    contraction runs per candidate plane — per-destination top-2 over
+    the union of every source word's two exit planes (second-best = max
+    of the runner-up source's best and the winning source's own second,
+    since plane 2 <= plane 1 rowwise)."""
+    P = len(mixes)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    diag_ref, arc_ref, entry_ref, exit_ref = refs[5 * P : 5 * P + 4]
+    rest_refs = refs[5 * P + 4 :]
     if bigram:
         exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
     else:
@@ -482,10 +542,13 @@ def _decode_k2_kernel(
     n_within = 2 * (band + 1)
 
     for k in range(k_block):
-        log_b = _frame_log_b(
-            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
-            n_mix, n_dim, N, full,
-        )
+        log_b = None
+        for p in range(P):
+            lb_p = _frame_log_b(
+                feats_refs[p][k], a_refs[p], bias_g_refs[p], bias_refs[p],
+                logw_refs[p], mixes[p], dims[p], N, full,
+            )
+            log_b = lb_p if log_b is None else log_b + lb_p
 
         def first():
             b0 = jnp.maximum(entry_ref[:] + log_b, neg)
@@ -676,9 +739,8 @@ def word_loop_decode_k2_pallas(
     FULL covariance (pack_vocab_constants outputs)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    T, D, B = feats_tdb.shape
-    N = a.shape[1]
-    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    (featss, ds, mixes, a_ops, bias_g_ops, bias_list, logw_ops, full,
+     T, B, N) = _norm_emission_streams(feats_tdb, a, bias, bias_g, logw)
     assert N % s_word == 0 and T % k_block == 0
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
     if bigram:
@@ -706,31 +768,24 @@ def word_loop_decode_k2_pallas(
     tvm = lambda shape: pl.BlockSpec(
         shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
     )
-    in_specs = [
-        pl.BlockSpec(
-            (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
-            memory_space=pltpu.VMEM,
-        ),
-        tvm(a_op.shape),
-        tvm(bias_g_op.shape),
-        tvm((M, N, 1)),
-        tvm(logw_op.shape),
+    em_specs, em_ops = _emission_specs_ops(
+        featss, ds, mixes, a_ops, bias_g_ops, bias_list, logw_ops,
+        k_block, B, N,
+    )
+    in_specs = em_specs + [
         tvm((band + 1, N, 1)),
         tvm(arc_col.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
-    operands = [
-        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
-        diag, arc_col, entry_col, exit_col,
-    ]
+    operands = em_ops + [diag, arc_col, entry_col, exit_col]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
         operands.append(exit_row)
     in_specs.append(tvm((1, B)))
     operands.append(lens)
     bp, final = pl.pallas_call(
-        partial(_decode_k2_kernel, M, D, k_block, band, s_word, bigram, full),
+        partial(_decode_k2_kernel, mixes, ds, k_block, band, s_word, bigram, full),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=[
@@ -784,10 +839,8 @@ def _topk_insert(vals, ids, v, i):
 
 
 def _decode_kn_kernel(
-    n_mix, n_dim, k_block, band, s_word, K, bigram, full, w_blk,
-    feats_ref, a_ref, bias_g_ref, bias_ref, logw_ref, diag_ref, arc_ref,
-    entry_ref, exit_ref,
-    *rest_refs,
+    mixes, dims, k_block, band, s_word, K, bigram, full, w_blk,
+    *refs,
 ):
     """n_best=K word-loop Viterbi.  Shapes as _decode_k2_kernel with the
     plane axis K instead of 2: bp (k_block, K, N, B) int32 flat
@@ -800,7 +853,17 @@ def _decode_kn_kernel(
     counters for different destinations are independent), so only
     (W_src, w_blk, B) planes are live at once and W=200-class bigram
     K>2 graphs fit VMEM (the round-4 W<~100 gate is lifted; w_blk is
-    chosen by the wrapper from the VMEM budget, 1 in the worst case)."""
+    chosen by the wrapper from the VMEM budget, 1 in the worst case).
+    Emission operands come in per-stream groups (round 5:
+    multi-stream)."""
+    P = len(mixes)
+    feats_refs = refs[0:P]
+    a_refs = refs[P : 2 * P]
+    bias_g_refs = refs[2 * P : 3 * P]
+    bias_refs = refs[3 * P : 4 * P]
+    logw_refs = refs[4 * P : 5 * P]
+    diag_ref, arc_ref, entry_ref, exit_ref = refs[5 * P : 5 * P + 4]
+    rest_refs = refs[5 * P + 4 :]
     if bigram:
         exitrow_ref, len_ref, bp_ref, final_ref, la_ref = rest_refs
     else:
@@ -817,10 +880,13 @@ def _decode_kn_kernel(
     n_within = (band + 1) * K
 
     for k in range(k_block):
-        log_b = _frame_log_b(
-            feats_ref[k], a_ref, bias_g_ref, bias_ref, logw_ref,
-            n_mix, n_dim, N, full,
-        )
+        log_b = None
+        for p in range(P):
+            lb_p = _frame_log_b(
+                feats_refs[p][k], a_refs[p], bias_g_refs[p], bias_refs[p],
+                logw_refs[p], mixes[p], dims[p], N, full,
+            )
+            log_b = lb_p if log_b is None else log_b + lb_p
 
         def first():
             outs = [jnp.maximum(entry_ref[:] + log_b, neg)]
@@ -1009,9 +1075,8 @@ def word_loop_decode_kn_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     K = n_best
-    T, D, B = feats_tdb.shape
-    N = a.shape[1]
-    full, M, a_op, bias_g_op, logw_op = _emission_operands(a, bias_g, logw, D)
+    (featss, ds, mixes, a_ops, bias_g_ops, bias_list, logw_ops, full,
+     T, B, N) = _norm_emission_streams(feats_tdb, a, bias, bias_g, logw)
     assert N % s_word == 0 and T % k_block == 0
     assert K >= 2
     bigram = arc_col.shape == (N // s_word, N // s_word) and s_word != 1
@@ -1060,24 +1125,17 @@ def word_loop_decode_kn_pallas(
     tvm = lambda shape: pl.BlockSpec(
         shape, lambda t: (0 * t,) * len(shape), memory_space=pltpu.VMEM
     )
-    in_specs = [
-        pl.BlockSpec(
-            (k_block, D, B), lambda t: (t, 0 * t, 0 * t),
-            memory_space=pltpu.VMEM,
-        ),
-        tvm(a_op.shape),
-        tvm(bias_g_op.shape),
-        tvm((M, N, 1)),
-        tvm(logw_op.shape),
+    em_specs, em_ops = _emission_specs_ops(
+        featss, ds, mixes, a_ops, bias_g_ops, bias_list, logw_ops,
+        k_block, B, N,
+    )
+    in_specs = em_specs + [
         tvm((band + 1, N, 1)),
         tvm(arc_op.shape),
         tvm((N, 1)),
         tvm((N, 1)),
     ]
-    operands = [
-        feats_tdb.astype(jnp.float32), a_op, bias_g_op, bias, logw_op,
-        diag, arc_op, entry_col, exit_col,
-    ]
+    operands = em_ops + [diag, arc_op, entry_col, exit_col]
     if bigram:
         in_specs.append(tvm((N // s_word, 1)))
         operands.append(exit_row)
@@ -1085,8 +1143,8 @@ def word_loop_decode_kn_pallas(
     operands.append(lens)
     bp, final = pl.pallas_call(
         partial(
-            _decode_kn_kernel, M, D, k_block, band, s_word, K, bigram, full,
-            w_blk,
+            _decode_kn_kernel, mixes, ds, k_block, band, s_word, K, bigram,
+            full, w_blk,
         ),
         grid=(nt,),
         in_specs=in_specs,

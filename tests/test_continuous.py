@@ -1073,3 +1073,45 @@ def test_multistream_fused_decode_matches_block_engine():
     out = decode_continuous_batch(vocab2, (b1, b2), n_best=1, interpret=True)
     for b in range(3):
         assert out[b][1] == truths[b], (b, out[b][1], truths[b])
+
+
+def test_multistream_kbest_decode_matches_single_utterance():
+    """Round 5: multi-stream n_best>=2 rides the fused K-plane kernels;
+    the batched hypotheses must match the per-utterance engine."""
+    from srhmm_tpu.decode.continuous import (
+        decode_continuous,
+        decode_continuous_batch,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+
+    words = [_two_stream_word(i) for i in range(4)]
+    vocab2 = stack_models(words).astype(jnp.float32)
+    rng = np.random.default_rng(41)
+    utts1, utts2 = [], []
+    for b in range(2):
+        truth = rng.integers(0, 4, size=2).tolist()
+        f1, f2 = [], []
+        for w in truth:
+            for s in range(3):
+                mu1 = np.asarray(words[w].streams[0].means)[s, 0]
+                mu2 = np.asarray(words[w].streams[1].means)[s, 0]
+                f1.append(mu1 + 0.1 * rng.normal(size=(4, 4)))
+                f2.append(mu2 + 0.1 * rng.normal(size=(4, 3)))
+        utts1.append(np.concatenate(f1))
+        utts2.append(np.concatenate(f2))
+    b1 = pack_utterances(utts1, pad_multiple=8, dtype=jnp.float32)
+    b2 = pack_utterances(utts2, pad_multiple=8, dtype=jnp.float32)
+
+    for K in (2, 3):
+        got = decode_continuous_batch(
+            vocab2, (b1, b2), n_best=K, interpret=True
+        )
+        for b in range(2):
+            ref = decode_continuous(
+                vocab2,
+                (jnp.asarray(utts1[b]), jnp.asarray(utts2[b])),
+                n_best=K,
+            )
+            for (rs, rw, _), (gs, gw, _) in zip(ref, got[b]):
+                assert gw == rw, (K, b, gw, rw)
+                np.testing.assert_allclose(gs, rs, rtol=2e-5, atol=1e-3)
