@@ -370,6 +370,46 @@ def hardware_equivalence(utts) -> dict:
         out["decode_miscompile_bp_mismatches"] = bp_mis
         out["decode_miscompile_score_abs"] = float(f"{dec_abs:.3g}")
         ok = ok and bp_mis == 0 and dec_abs <= 1e-2
+
+        # MULTI-STREAM fused decode (round 5): compiled vs interpret of
+        # the same kernel with 2-stream emission sums.  NOT bitwise by
+        # construction — the per-stream logsumexp sum adds an f32
+        # reduction-order difference between codegens, so near-tie
+        # backpointers can flip (hardware-measured 8 of 10.5M entries);
+        # gate on scores tight + a tiny bp-flip allowance.
+        ms_vocab2 = stack_models(
+            [
+                GmmHmm(
+                    trans=one(i).trans,
+                    streams=one(i).streams + one(i + 40, D=5).streams,
+                    word=f"ms{i}",
+                )
+                for i in range(6)
+            ]
+        ).astype(jnp.float32)
+        ms_graph = compose_word_loop_blocks(ms_vocab2)
+        dbatch2 = pack_utterances(
+            [rng.normal(size=(100 + 7 * i, 5)) for i in range(8)],
+            pad_multiple=8, dtype=jnp.float32,
+        )
+        mfc, mbc, _ = token_passing_fused(
+            ms_vocab2, ms_graph, (dbatch, dbatch2), k_block=4,
+            interpret=False,
+        )
+        mfi, mbi, _ = token_passing_fused(
+            ms_vocab2, ms_graph, (dbatch, dbatch2), k_block=4,
+            interpret=True,
+        )
+        mfc, mfi = np.asarray(mfc), np.asarray(mfi)
+        ms_bp = int((np.asarray(mbc) != np.asarray(mbi)).sum())
+        ms_total = int(np.asarray(mbc).size)
+        mm = np.isfinite(mfi) & (mfi > -1e29)
+        ms_abs = float(np.max(np.abs(mfc[mm] - mfi[mm])))
+        out["ms_decode_miscompile_bp_mismatch_frac"] = float(
+            f"{ms_bp / ms_total:.3g}"
+        )
+        out["ms_decode_miscompile_score_abs"] = float(f"{ms_abs:.3g}")
+        ok = ok and ms_bp <= ms_total * 1e-4 and ms_abs <= 2e-2
     except Exception as e:  # pragma: no cover
         out["decode_miscompile_error"] = str(e)[:120]
         ok = False
