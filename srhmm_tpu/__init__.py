@@ -24,7 +24,11 @@ Package map (reference capability -> TPU-native subsystem):
   parallel/  jax.sharding mesh utilities, data/model-parallel EM collectives
   eval/      accuracy metrics + report writers matching the reference formats
   features/  MFCC/filterbank frontend (GEMM-native STFT+mel+DCT) [new capability]
-  cli/       train / recognize entry points mirroring the reference argv contracts
+  pipeline   the whole framework as ONE system: audio -> fused MFCC -> LBG ->
+             monophone EM -> decision-tree tying -> tied EM -> materialized
+             lexicon -> bigram n-best fused decode -> WER [round 5]
+  cli/       train / recognize / decode / train_embedded / pipeline entry
+             points (reference argv contracts where applicable)
 
 float64 is enabled globally: the reference is double-precision C and the
 bit-comparable parity paths need f64. The TPU fast paths request f32/bf16
