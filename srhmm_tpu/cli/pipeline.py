@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        mesh = make_mesh(n_data=ns.data_parallel, n_model=1)
+        mesh = make_mesh(
+            n_data=ns.data_parallel, n_model=1,
+            devices=jax.devices()[: ns.data_parallel],
+        )
 
     t0 = time.time()
     res = run_pipeline(

@@ -173,7 +173,10 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        mesh = make_mesh(n_data=ns.data_parallel, n_model=1)
+        mesh = make_mesh(
+            n_data=ns.data_parallel, n_model=1,
+            devices=jax.devices()[: ns.data_parallel],
+        )
 
     out_dir = Path(ns.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

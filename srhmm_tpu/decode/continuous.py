@@ -255,6 +255,10 @@ class BlockGraph:
     arc: jax.Array  # (W, W) exit->entry arc log-weights (lm, penalty incl.)
     log_entry: jax.Array  # (W,) initial scores at each word's entry state
     words: tuple = struct.field(pytree_node=False, default=())
+    # (W,) within-word EXIT state index per word, or None for the
+    # homogeneous S-1 (round 5: HETEROGENEOUS word lengths — words padded
+    # to a common stride by pad_stack_models keep their real final state)
+    exit_states: jax.Array | None = None
 
 
 def compose_word_loop_blocks(
@@ -264,9 +268,16 @@ def compose_word_loop_blocks(
     lm_scale: float = 1.0,
     word_insertion_penalty: float = 0.0,
     lm_initial: np.ndarray | None = None,
+    final_states: np.ndarray | None = None,
 ) -> BlockGraph:
     """Block-structured equivalent of compose_word_loop (same LM arguments,
-    same arc semantics — test-locked equal decodes)."""
+    same arc semantics — test-locked equal decodes).
+
+    final_states: optional (W,) REAL final-state index per word — for
+    HETEROGENEOUS vocabularies stacked by models.pad_stack_models (filler
+    states are unreachable self-loops past each word's real exit); the
+    engines then read exits and attach cross-word arcs at these rows
+    (round 5)."""
     W = vocab.trans.shape[0]
     if lm_logprobs is None:
         lm_logprobs = np.full(W, -np.log(W))
@@ -292,6 +303,11 @@ def compose_word_loop_blocks(
         arc=jnp.asarray(arc),
         log_entry=jnp.asarray(lm_scale * initial),
         words=tuple(vocab.word) if isinstance(vocab.word, tuple) else (),
+        exit_states=(
+            None
+            if final_states is None
+            else jnp.asarray(np.asarray(final_states), jnp.int32)
+        ),
     )
 
 
@@ -347,13 +363,20 @@ def token_passing_blocks(
         )
 
         # cross-word: exit tokens of every word -> every entry state
-        exit_tok = carry[:, S - 1, :]  # (W, K)
+        if graph.exit_states is None:
+            exit_tok = carry[:, S - 1, :]  # (W, K)
+            exit_off = jnp.full((W,), S - 1, jnp.int32)
+        else:  # heterogeneous word lengths: per-word real exit rows
+            exit_off = graph.exit_states.astype(jnp.int32)
+            exit_tok = jnp.take_along_axis(
+                carry, exit_off[:, None, None], axis=1
+            )[:, 0, :]
         cross = exit_tok[:, None, :] + arc[:, :, None]  # (from_w, to_v, K)
         cross = jnp.swapaxes(cross, 0, 1).reshape(W, W * K)  # (to_v, from_w*K)
         top_x, idx_x = jax.lax.top_k(cross, K)  # (W, K)
         w_src = idx_x // K
         kx_src = idx_x % K
-        bp_x = ((w_src * S + (S - 1)) * K + kx_src).astype(jnp.int32)
+        bp_x = ((w_src * S + exit_off[w_src]) * K + kx_src).astype(jnp.int32)
 
         # merge at entry state 0: within-word K + cross-word K
         merged = jnp.concatenate([top_in[:, 0, :], top_x], axis=1)  # (W, 2K)
@@ -446,20 +469,25 @@ def backtrace_words(
 
 
 def _words_from_path(
-    path: np.ndarray, S: int, exit_off: int | None = None
+    path: np.ndarray, S: int, exit_off=None
 ) -> tuple[list[int], list[tuple[int, int]]]:
     """Vectorized word-boundary extraction from a composed-state path: a
     boundary is exactly an exit -> entry(0) arc crossing (the rule of
     backtrace_words, without the host loop).  exit_off: exit state index
-    within each word (default S - 1; smaller when the word stride S
-    includes unreachable filler states, token_passing_fused's padded
-    bigram case)."""
+    within each word — scalar (default S - 1; smaller when the word
+    stride S includes unreachable filler states, token_passing_fused's
+    padded bigram case) or a (W,) per-word array for heterogeneous word
+    lengths (round 5)."""
     if exit_off is None:
         exit_off = S - 1
     p = np.asarray(path)
     crossed = np.zeros(len(p), dtype=bool)
+    exit_off = np.asarray(exit_off)
+    prev_exit = (
+        exit_off[p[:-1] // S] if exit_off.ndim else exit_off
+    ) if len(p) > 1 else exit_off
     if len(p) > 1:
-        crossed[1:] = (p[1:] % S == 0) & (p[:-1] % S == exit_off) & (p[1:] != p[:-1])
+        crossed[1:] = (p[1:] % S == 0) & (p[:-1] % S == prev_exit) & (p[1:] != p[:-1])
     starts = np.flatnonzero(np.concatenate([[True], crossed[1:]]))
     ends = np.append(starts[1:], len(p))
     words = (p[starts] // S).astype(int).tolist()
@@ -476,6 +504,7 @@ def decode_continuous(
     word_insertion_penalty: float = 0.0,
     lm_initial: np.ndarray | None = None,
     engine: str = "blocks",
+    final_states: np.ndarray | None = None,
 ):
     """End-to-end continuous decode: compose word loop (unigram or bigram
     LM, see compose_word_loop), token-pass, return the N best
@@ -501,6 +530,11 @@ def decode_continuous(
     S = vocab.trans.shape[-1]
 
     if engine == "dense":
+        if final_states is not None:
+            raise ValueError(
+                "decode_continuous: heterogeneous final_states require the "
+                "blocks engine"
+            )
         graph = compose_word_loop(vocab, **kwargs)
         final, bps = token_passing(graph, log_b, n_best=n_best)
         final = np.asarray(final)
@@ -517,11 +551,16 @@ def decode_continuous(
                 break
         return out
 
-    graph = compose_word_loop_blocks(vocab, **kwargs)
+    graph = compose_word_loop_blocks(vocab, final_states=final_states, **kwargs)
     final, bps = token_passing_blocks(graph, log_b, n_best=n_best)
     fin = np.asarray(final)  # (W*S, K); bps stays on device for backtrace
     K = fin.shape[1]
-    exit_states = np.arange(W) * S + (S - 1)
+    ex_off = (
+        np.full(W, S - 1)
+        if final_states is None
+        else np.asarray(final_states)
+    )
+    exit_states = np.arange(W) * S + ex_off
     ends = [(fin[s, k], s, k) for s in exit_states for k in range(K)]
     ends.sort(key=lambda x: -x[0])
     out = []
@@ -534,7 +573,7 @@ def decode_continuous(
                 bps, jnp.asarray(s, jnp.int32), jnp.asarray(k, jnp.int32)
             )
         )
-        words, spans = _words_from_path(path[:T], S)
+        words, spans = _words_from_path(path[:T], S, exit_off=ex_off)
         key = tuple(words)
         if key not in seen:
             seen.add(key)
@@ -716,10 +755,14 @@ def token_passing_fused(
         arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    ex_off = (
+        None if graph.exit_states is None else np.asarray(graph.exit_states)
+    )
     exit_col = None
-    if s_eff != S:
+    if s_eff != S or ex_off is not None:
+        off = ex_off if ex_off is not None else np.full(W, S - 1)
         ec = np.full((N, 1), DNEG)
-        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        ec[np.arange(W) * s_eff + off, 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
     feats_tdb = tuple(
@@ -854,10 +897,14 @@ def token_passing_fused_k2(
         arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    ex_off = (
+        None if graph.exit_states is None else np.asarray(graph.exit_states)
+    )
     exit_col = None
-    if s_eff != S:
+    if s_eff != S or ex_off is not None:
+        off = ex_off if ex_off is not None else np.full(W, S - 1)
         ec = np.full((N, 1), DNEG)
-        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        ec[np.arange(W) * s_eff + off, 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
     final, bps = word_loop_decode_k2_pallas(
@@ -927,10 +974,14 @@ def token_passing_fused_kn(
         arc_col = np.maximum(arc, DNEG)  # (W, W) bigram matrix
     entry_col = np.full((N, 1), DNEG)
     entry_col[entry_rows, 0] = np.asarray(graph.log_entry, np.float64)
+    ex_off = (
+        None if graph.exit_states is None else np.asarray(graph.exit_states)
+    )
     exit_col = None
-    if s_eff != S:
+    if s_eff != S or ex_off is not None:
+        off = ex_off if ex_off is not None else np.full(W, S - 1)
         ec = np.full((N, 1), DNEG)
-        ec[np.arange(W) * s_eff + (S - 1), 0] = 0.0
+        ec[np.arange(W) * s_eff + off, 0] = 0.0
         exit_col = jnp.asarray(ec, jnp.float32)
 
     final, bps = word_loop_decode_kn_pallas(
@@ -954,6 +1005,7 @@ def decode_continuous_batch(
     lm_initial: np.ndarray | None = None,
     k_block: int = 4,
     n_best: int = 1,
+    final_states: np.ndarray | None = None,
     interpret: bool | None = None,
 ):
     """Batched end-to-end continuous decode: ALL utterances of a padded
@@ -1050,6 +1102,7 @@ def decode_continuous_batch(
         return _decode_batch_kn(
             vocab, batch, lm_logprobs, exit_logprob, lm_scale,
             word_insertion_penalty, lm_initial, k_block, n_best, interpret,
+            final_states=final_states,
         )
     if n_best != 1:
         raise ValueError("decode_continuous_batch: n_best must be >= 1")
@@ -1060,6 +1113,7 @@ def decode_continuous_batch(
         lm_scale=lm_scale,
         word_insertion_penalty=word_insertion_penalty,
         lm_initial=lm_initial,
+        final_states=final_states,
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     try:
@@ -1084,11 +1138,17 @@ def decode_continuous_batch(
                 word_insertion_penalty=word_insertion_penalty,
                 lm_initial=lm_initial,
                 n_best=1,
+                final_states=final_states,
             )[0]
             out.append(hyp)
         return out
     fin = np.asarray(final)  # (W*s_eff, B)
-    exit_rows = np.arange(W) * s_eff + (S - 1)
+    ex_off = (
+        np.full(W, S - 1)
+        if final_states is None
+        else np.asarray(final_states)
+    )
+    exit_rows = np.arange(W) * s_eff + ex_off
     best_states = exit_rows[np.argmax(fin[exit_rows], axis=0)]  # (B,)
     paths = np.asarray(
         backtrace_batch_device(bps, jnp.asarray(best_states, jnp.int32))
@@ -1100,7 +1160,7 @@ def decode_continuous_batch(
         if L <= 0:
             out.append((float("-inf"), [], []))
             continue
-        words, spans = _words_from_path(paths[:L, b], s_eff, exit_off=S - 1)
+        words, spans = _words_from_path(paths[:L, b], s_eff, exit_off=ex_off)
         out.append((float(fin[best_states[b], b]), words, spans))
     return out
 
@@ -1108,6 +1168,7 @@ def decode_continuous_batch(
 def _decode_batch_kn(
     vocab, batch, lm_logprobs, exit_logprob, lm_scale,
     word_insertion_penalty, lm_initial, k_block, n_best, interpret,
+    final_states=None,
 ):
     """n_best=K batched decode on the fused K-plane kernels: the flat
     n*K+k token-id space makes backtrace_batch_device directly
@@ -1123,6 +1184,7 @@ def _decode_batch_kn(
         lm_scale=lm_scale,
         word_insertion_penalty=word_insertion_penalty,
         lm_initial=lm_initial,
+        final_states=final_states,
     )
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     try:
@@ -1155,6 +1217,7 @@ def _decode_batch_kn(
                     word_insertion_penalty=word_insertion_penalty,
                     lm_initial=lm_initial,
                     n_best=K,
+                    final_states=final_states,
                 )
             )
         return out
@@ -1165,7 +1228,12 @@ def _decode_batch_kn(
     scores_flat = jnp.transpose(final, (1, 0, 2)).reshape(K * N, B)
     bp_flat = jnp.transpose(bps, (0, 2, 1, 3)).reshape(T, K * N, B)
     row = jnp.arange(K * N)[:, None]
-    is_exit = ((row // K) % s_eff) == (S - 1)
+    _W = N // s_eff
+    _ex = (
+        np.full(_W, S - 1) if final_states is None else np.asarray(final_states)
+    )
+    _ex_j = jnp.asarray(_ex, jnp.int32)
+    is_exit = ((row // K) % s_eff) == _ex_j[(row // K) // s_eff]
     masked = jnp.where(is_exit, scores_flat, -jnp.inf)
     # the engine dedupes hypotheses by WORD SEQUENCE, so the two returned
     # hypotheses may come from deeper than the top-2 exit tokens: rank the
@@ -1200,7 +1268,7 @@ def _decode_batch_kn(
                 if not np.isfinite(score):
                     break
                 states = paths[:L, r, b] // K  # token id -> composed state
-                words, spans = _words_from_path(states, s_eff, exit_off=S - 1)
+                words, spans = _words_from_path(states, s_eff, exit_off=_ex)
                 key = tuple(words)
                 if key not in seen:
                     seen.add(key)

@@ -47,7 +47,11 @@ from .features.frontend import FrontendConfig
 class PipelineConfig:
     phones: tuple = ("aa", "iy", "uw", "eh", "ow", "ae", "er", "ah", "ey", "ao")
     n_words: int = 10
-    phones_per_word: int = 3  # fixed length => homogeneous word HMMs
+    # int: fixed length (homogeneous word HMMs); (min, max) tuple:
+    # VARIABLE lengths — the decode vocabulary then stacks heterogeneous
+    # word HMMs via pad_stack_models and decodes with per-word final
+    # states (round 5)
+    phones_per_word: int | tuple = 3
     states_per_phone: int = 3
     n_mix: int = 2
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
@@ -67,22 +71,30 @@ def phone_formants(idx: int, n_phones: int) -> tuple:
     return (f1, f2, f3)
 
 
+def _ppw_range(cfg: PipelineConfig) -> tuple:
+    ppw = cfg.phones_per_word
+    return (ppw, ppw) if isinstance(ppw, int) else tuple(ppw)
+
+
 def make_lexicon(cfg: PipelineConfig) -> list:
-    """[(word_name, phone_id tuple)] — distinct fixed-length phone strings,
-    deterministic in cfg.seed; guarantees every phone is used."""
+    """[(word_name, phone_id tuple)] — distinct phone strings (fixed or
+    variable length per cfg.phones_per_word), deterministic in cfg.seed;
+    guarantees every phone is used."""
     rng = np.random.default_rng(cfg.seed + 1000)
     n_ph = len(cfg.phones)
+    lo, hi = _ppw_range(cfg)
     seen = set()
     lex = []
     k = 0
     while len(lex) < cfg.n_words:
-        base = len(lex) * cfg.phones_per_word
-        covered = tuple((base + i) % n_ph for i in range(cfg.phones_per_word))
+        n_p = int(rng.integers(lo, hi + 1))
+        base = len(lex) * lo
+        covered = tuple((base + i) % n_ph for i in range(n_p))
         if base < n_ph and covered not in seen:
             ph = covered  # coverage: early words walk the inventory
         else:
-            ph = tuple(rng.integers(0, n_ph, cfg.phones_per_word).tolist())
-        if ph in seen or len(set(ph)) < min(2, cfg.phones_per_word):
+            ph = tuple(rng.integers(0, n_ph, n_p).tolist())
+        if ph in seen or len(set(ph)) < min(2, n_p):
             k += 1
             if k > 10_000:
                 raise ValueError("lexicon generation failed; enlarge phones")
@@ -455,21 +467,31 @@ def run_pipeline(
     )
     tick("tied_em")
 
-    # materialize the tied system into lexicon word models for decode
+    # materialize the tied system into lexicon word models for decode;
+    # variable-length lexicons stack heterogeneous word HMMs
+    # (pad_stack_models) and decode with per-word final states (round 5)
     unit_models = tied_res.model.materialize()
-    vocab = stack_models(
-        [
-            concat_models(unit_models, word_unit_ids[w], word=lexicon[w][0])
-            for w in range(W)
-        ]
-    ).astype(jnp.float32)
+    word_models = [
+        concat_models(unit_models, word_unit_ids[w], word=lexicon[w][0])
+        for w in range(W)
+    ]
+    word_lens = {len(word_unit_ids[w]) for w in range(W)}
+    if len(word_lens) == 1:
+        vocab = stack_models(word_models).astype(jnp.float32)
+        finals = None
+    else:
+        from .models import pad_stack_models
+
+        vocab, finals = pad_stack_models(word_models)
+        vocab = vocab.astype(jnp.float32)
+        finals = np.asarray(finals)
     lm, lm_init = estimate_bigram(train_refs, W)
     tick("materialize")
 
     batch = pack_utterances(test_feats, pad_multiple=32)
     hyps_raw = decode_continuous_batch(
         vocab, batch, lm_logprobs=lm, lm_initial=lm_init,
-        lm_scale=lm_scale, n_best=n_best,
+        lm_scale=lm_scale, n_best=n_best, final_states=finals,
     )
     hyps = []
     for h in hyps_raw:

@@ -1115,3 +1115,69 @@ def test_multistream_kbest_decode_matches_single_utterance():
             for (rs, rw, _), (gs, gw, _) in zip(ref, got[b]):
                 assert gw == rw, (K, b, gw, rw)
                 np.testing.assert_allclose(gs, rs, rtol=2e-5, atol=1e-3)
+
+
+def test_heterogeneous_word_lengths_decode():
+    """Round 5: words of DIFFERENT state counts decode through the
+    word-loop engines — pad_stack_models supplies per-word final states,
+    the graph carries them, and boundaries are detected at each word's
+    REAL exit.  Truth recovery + per-utterance == batched (fused)."""
+    from srhmm_tpu.decode.continuous import (
+        decode_continuous,
+        decode_continuous_batch,
+    )
+    from srhmm_tpu.io.dataset import pack_utterances
+    from srhmm_tpu.models import pad_stack_models
+
+    rng = np.random.default_rng(47)
+    lens = [3, 5, 4, 3]  # states per word — heterogeneous
+    words = [_word_model(100 + i, S=lens[i], D=4) for i in range(4)]
+    vocab, finals = pad_stack_models(words)
+    vocab = vocab.astype(jnp.float32)
+    S_pad = vocab.trans.shape[-1]
+    assert S_pad == max(lens)
+
+    utts, truths = [], []
+    for b in range(3):
+        truth = rng.integers(0, 4, size=3).tolist()
+        frames = []
+        for w in truth:
+            mu = np.asarray(words[w].streams[0].means)[:, 0]
+            for st in range(lens[w]):
+                for _ in range(4):
+                    frames.append(mu[st] + 0.1 * rng.normal(size=4))
+        utts.append(np.asarray(frames))
+        truths.append(truth)
+
+    fn = np.asarray(finals)
+    for b in range(3):
+        hyp = decode_continuous(
+            vocab, jnp.asarray(utts[b], jnp.float32), n_best=1,
+            final_states=fn,
+        )[0]
+        assert hyp[1] == truths[b], (b, hyp[1], truths[b])
+
+    batch = pack_utterances(utts, pad_multiple=8, dtype=jnp.float32)
+    out = decode_continuous_batch(
+        vocab, batch, n_best=1, final_states=fn, interpret=True
+    )
+    for b in range(3):
+        assert out[b][1] == truths[b], (b, out[b][1], truths[b])
+        ref = decode_continuous(
+            vocab, jnp.asarray(utts[b], jnp.float32), n_best=1,
+            final_states=fn,
+        )[0]
+        np.testing.assert_allclose(out[b][0], ref[0], rtol=2e-5, atol=1e-3)
+
+    # K-best: batched == per-utterance, word strings and scores
+    out2 = decode_continuous_batch(
+        vocab, batch, n_best=2, final_states=fn, interpret=True
+    )
+    for b in range(3):
+        ref2 = decode_continuous(
+            vocab, jnp.asarray(utts[b], jnp.float32), n_best=2,
+            final_states=fn,
+        )
+        for (rs, rw, _), (gs, gw, _) in zip(ref2, out2[b]):
+            assert gw == rw, (b, gw, rw)
+            np.testing.assert_allclose(gs, rs, rtol=2e-5, atol=1e-3)

@@ -112,3 +112,18 @@ def test_pipeline_data_parallel_mesh(clean_result):
     )
     assert res.wer.wer <= 0.10, (res.wer, res.hyps, res.refs)
     assert res.hyps == clean_result.hyps
+
+
+def test_pipeline_variable_word_lengths():
+    """Round 5: a lexicon with 2- AND 3-phone words — the decode
+    vocabulary stacks heterogeneous word HMMs (pad_stack_models) and
+    decodes with per-word final states."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, phones_per_word=(2, 3))
+    lex = __import__("srhmm_tpu.pipeline", fromlist=["make_lexicon"]).make_lexicon(cfg)
+    assert len({len(ph) for _, ph in lex}) > 1  # genuinely heterogeneous
+    res = run_pipeline(
+        cfg, n_train=24, n_test=8, max_iterations=4, tied_iterations=4
+    )
+    assert res.wer.wer <= 0.10, (res.wer, res.hyps, res.refs)
