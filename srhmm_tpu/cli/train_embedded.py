@@ -128,6 +128,18 @@ def main(argv: list[str] | None = None) -> int:
         "precision; see pipeline.run_pipeline's CMVN note)",
     )
     ap.add_argument("--size-t-width", type=int, default=4)
+    ap.add_argument(
+        "--scan-iters", type=int, default=None, metavar="N",
+        help="fixed-budget mode: run exactly N EM iterations as one "
+        "device-side scan, skipping the reference convergence rule "
+        "(cli/train.py --scan-iters for the composed trainers)",
+    )
+    ap.add_argument(
+        "--cmvn", choices=["off", "global"], default="off",
+        help="train in globally mean/variance-normalized feature space and "
+        "de-normalize the exported models (the MXU-precision lever; EM is "
+        "exactly affine-equivariant, cli/train.py --cmvn)",
+    )
     ns = ap.parse_args(argv)
 
     from ..utils import ensure_usable_backend
@@ -148,6 +160,19 @@ def main(argv: list[str] | None = None) -> int:
     feats = [np.asarray(read_perfil(p), np.float32) for p, _ in items]
     transcripts_named = [seq for _, seq in items]
     transcripts = [[uidx[u] for u in seq] for seq in transcripts_named]
+
+    cmvn_stats = None
+    lp_offset = 0.0
+    if ns.cmvn == "global":
+        allf = np.concatenate([np.asarray(f, np.float64) for f in feats], 0)
+        g_mean = allf.mean(0)
+        g_std = np.maximum(allf.std(0), 1e-8)
+        # constant Jacobian correction applied INSIDE the convergence rule
+        # (the reference's relative-change test is not shift-invariant;
+        # cli/train.py --cmvn)
+        lp_offset = -float(sum(len(f) for f in feats) * np.log(g_std).sum())
+        feats = [((f - g_mean) / g_std).astype(np.float32) for f in feats]
+        cmvn_stats = (g_mean, g_std)
 
     if ns.init:
         models = stack_models(
@@ -208,11 +233,16 @@ def main(argv: list[str] | None = None) -> int:
             max_senones=ns.max_senones,
         )
         tied0 = tie_from_models(models, cluster.state_map).astype(jnp.float32)
+        threshold, max_iters, chunk = (
+            (-1.0, ns.scan_iters, ns.scan_iters)
+            if ns.scan_iters
+            else (ns.threshold, ns.max_iters, ns.chunk)
+        )
         res = train_tied(
             tied0, feats, transcripts,
-            threshold=ns.threshold, max_iterations=ns.max_iters,
-            var_floor=ns.var_floor,
-            pad_multiple=ns.pad_multiple, chunk=ns.chunk, mesh=mesh,
+            threshold=threshold, max_iterations=max_iters,
+            var_floor=ns.var_floor, log_prob_offset=lp_offset,
+            pad_multiple=ns.pad_multiple, chunk=chunk, mesh=mesh,
             checkpoint_dir=ns.checkpoint_dir,
         )
         trained = res.model
@@ -230,14 +260,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from ..train.embedded import train_embedded
 
+        threshold, max_iters, chunk = (
+            (-1.0, ns.scan_iters, ns.scan_iters)
+            if ns.scan_iters
+            else (ns.threshold, ns.max_iters, ns.chunk)
+        )
         res = train_embedded(
             models, feats, transcripts,
-            threshold=ns.threshold, max_iterations=ns.max_iters,
-            var_floor=ns.var_floor,
-            pad_multiple=ns.pad_multiple, chunk=ns.chunk, mesh=mesh,
+            threshold=threshold, max_iterations=max_iters,
+            var_floor=ns.var_floor, log_prob_offset=lp_offset,
+            pad_multiple=ns.pad_multiple, chunk=chunk, mesh=mesh,
             checkpoint_dir=ns.checkpoint_dir,
         )
         unit_models = res.model
+
+    if cmvn_stats is not None:
+        # back to raw feature space (exact inverse affine; the reported
+        # probabilities already carry the Jacobian offset)
+        from ..models.gmm_hmm import denormalize_model
+
+        unit_models = denormalize_model(unit_models, [cmvn_stats])
 
     # export: one reference-compatible .hmm per unit, float64 file contract
     def unit_slice(i: int):

@@ -877,6 +877,7 @@ def train_embedded(
     mesh=None,
     mesh_axis: str = "data",
     checkpoint_dir=None,
+    log_prob_offset: float = 0.0,
 ):
     """Embedded EM driver: buckets utterances by transcript length, then
     runs the chunked convergence driver (train/driver.py) — iterations
@@ -949,7 +950,7 @@ def train_embedded(
         models = _with_log_det(models)
     models, iteration, history, n_valid = chunked_convergence_train(
         models, run, threshold=threshold, max_iterations=max_iterations,
-        chunk=chunk, checkpoint=manager,
+        chunk=chunk, checkpoint=manager, log_prob_offset=log_prob_offset,
     )
     return TrainResult(
         model=models,

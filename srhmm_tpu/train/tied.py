@@ -460,6 +460,7 @@ def train_tied(
     mesh=None,
     mesh_axis: str = "data",
     checkpoint_dir=None,
+    log_prob_offset: float = 0.0,
 ):
     """Tied-state embedded EM driver (bucketed by shape): iterations run
     in device-side scans of `chunk`, speculatively pipelined by the
@@ -519,7 +520,7 @@ def train_tied(
             )
     tied, iteration, history, n_valid = chunked_convergence_train(
         tied, run, threshold=threshold, max_iterations=max_iterations,
-        chunk=chunk, checkpoint=manager,
+        chunk=chunk, checkpoint=manager, log_prob_offset=log_prob_offset,
     )
     return TrainResult(
         model=tied,

@@ -408,6 +408,26 @@ def test_train_embedded_cli_end_to_end(tmp_path):
     )
     assert rc == 0
 
+    # fixed-budget + CMVN modes (the isolated trainer's production flags
+    # on the composed trainer, round 5): exactly N iterations, trained in
+    # normalized space, exported raw — must stay close to the raw-space run
+    out_sc = tmp_path / "out_scan"
+    rc = main(
+        [str(tmp_path / "trans.txt"), str(out_sc), "--states", "3",
+         "--mix", "1", "--scan-iters", "4", "--cmvn", "global"]
+    )
+    assert rc == 0
+    sc_summary = json.loads((out_sc / "summary.json").read_text())
+    assert sc_summary["iterations"] == 4
+    for u in names:
+        m_raw = read_hmm(str(out / f"{u}.hmm"))
+        m_sc = read_hmm(str(out_sc / f"{u}.hmm"))
+        np.testing.assert_allclose(
+            np.asarray(m_sc.streams[0].means),
+            np.asarray(m_raw.streams[0].means),
+            rtol=0.2, atol=0.5,
+        )  # same data, raw space — close, not identical (4 vs 4 iters, f32)
+
     # tied-state variant: decision tree + senone map + materialized units
     out3 = tmp_path / "out_tied"
     rc = main(
