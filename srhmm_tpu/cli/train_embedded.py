@@ -39,6 +39,13 @@ with the identical trajectory.
 --init DIR warm-starts each unit from DIR/<unit>.hmm instead of the LBG
 flat start (the reference's documented-but-broken warm start, T1:204,
 works here).
+
+Datasets beyond device memory: the isolated trainer's --stream-shards
+double-buffered pipeline is not wired here (the composed trainers keep
+all shape buckets device-resident for the single-scan design); shard the
+transcript file and chain invocations with --init + --checkpoint-dir
+instead — EM over a corpus partition with warm start is the standard
+large-corpus recipe.
 """
 
 from __future__ import annotations
