@@ -1189,9 +1189,17 @@ def _decode_batch_kn(
     W, S = vocab.trans.shape[0], vocab.trans.shape[-1]
     try:
         if K == 2:
-            final, bps, s_eff = token_passing_fused_k2(
-                vocab, graph, batch, k_block=k_block, interpret=interpret
-            )  # (2, N, B), (T, 2, N, B) with N = W * s_eff
+            try:
+                final, bps, s_eff = token_passing_fused_k2(
+                    vocab, graph, batch, k_block=k_block, interpret=interpret
+                )  # (2, N, B), (T, 2, N, B) with N = W * s_eff
+            except ValueError:
+                # round 5: oversized-W bigram K=2 rides the K-slot kernel
+                # (its take counter is destination-tiled) before giving up
+                final, bps, s_eff = token_passing_fused_kn(
+                    vocab, graph, batch, n_best=2,
+                    k_block=max(1, min(k_block, 4)), interpret=interpret,
+                )
         else:
             final, bps, s_eff = token_passing_fused_kn(
                 vocab, graph, batch, n_best=K,
