@@ -704,8 +704,10 @@ def main():
     except Exception as e:  # pragma: no cover
         print(json.dumps({"suite_error": str(e)[:120]}), flush=True)
 
+    pipe = None
     try:
-        print(json.dumps(bench_pipeline()), flush=True)
+        pipe = bench_pipeline()
+        print(json.dumps(pipe), flush=True)
     except Exception as e:  # pragma: no cover
         print(json.dumps({"metric": "pipeline_e2e", "error": str(e)[:120]}), flush=True)
 
@@ -767,6 +769,12 @@ def main():
                     round(BASELINE_DECODE_RTF / rtf, 1) if rtf else None
                 ),
                 "hw_equivalence_ok": hw["ok"],
+                "pipeline_wer_clean": (
+                    pipe.get("wer_clean") if pipe else None
+                ),
+                "pipeline_wer_0db": (
+                    pipe.get("wer_0db") if pipe else None
+                ),
             }
         )
     )
