@@ -515,3 +515,70 @@ def test_decode_cli_multistream(tmp_path):
     text = out.read_text()
     assert "w2 w0 w1" in text
     assert "WER: 0.00%" in text
+
+
+def test_align_cli_segments_transcripts(tmp_path):
+    """Round 5: forced-alignment CLI — Viterbi segmentation of transcripts
+    against unit models, boundaries near the true 10-frame grid."""
+    import jax.numpy as jnp
+
+    from srhmm_tpu.cli.align import main as align_main
+    from srhmm_tpu.io import write_hmm, write_perfil
+    from srhmm_tpu.models import (
+        DIAG, GmmHmm, GmmStream, init_left_right_trans,
+    )
+
+    rng = np.random.default_rng(53)
+    S, D, P = 2, 4, 3
+    units = []
+    for u in range(P):
+        r = np.random.default_rng(400 + u)
+        var = np.full((S, 1, D), 1.0)
+        units.append(
+            GmmHmm(
+                trans=init_left_right_trans(S),
+                streams=(
+                    GmmStream(
+                        weights=jnp.ones((S, 1)),
+                        means=jnp.asarray(r.normal(size=(S, 1, D)) * 6.0),
+                        inv_cov=jnp.asarray(1.0 / var),
+                        det=jnp.asarray(np.prod(var, -1)),
+                        cov_type=DIAG,
+                    ),
+                ),
+                word=f"ph{u}",
+            )
+        )
+    paths = []
+    for m in units:
+        pth = tmp_path / f"{m.word}.hmm"
+        write_hmm(pth, m)
+        paths.append(str(pth))
+    (tmp_path / "models.txt").write_text("\n".join(paths) + "\n")
+
+    seq = [2, 0, 1]
+    frames = []
+    for u in seq:
+        mu = np.asarray(units[u].streams[0].means)[:, 0]
+        for st in range(S):
+            for _ in range(5):  # 10 frames per unit
+                frames.append(mu[st] + 0.1 * rng.normal(size=D))
+    perfil = tmp_path / "u0.perfil"
+    write_perfil(perfil, np.asarray(frames))
+    (tmp_path / "trans.txt").write_text(
+        f"{perfil} ph2 ph0 ph1\n"
+    )
+    out = tmp_path / "align.txt"
+    rc = align_main(
+        [str(tmp_path / "models.txt"), str(tmp_path / "trans.txt"),
+         str(out), "--frame-shift", "10"]
+    )
+    assert rc == 0
+    lines = [l.split("\t") for l in out.read_text().splitlines()]
+    assert [l[1] for l in lines] == ["ph2", "ph0", "ph1"]
+    starts = [int(l[2]) for l in lines]
+    ends = [int(l[3]) for l in lines]
+    assert starts[0] == 0 and ends[-1] == 30
+    for i, a in enumerate(starts):
+        assert abs(a - 10 * i) <= 2  # near the true 10-frame grid
+    assert lines[0][4] == "0.000"  # --frame-shift seconds columns
